@@ -1,0 +1,243 @@
+"""Main eval CLI — reference-compatible semantics (eval/eval_imp.py).
+
+Usage:
+  python -m impx.eval.eval_imp --matching_method IMP --dataset yfcc \
+      --feature_type spp [--use_iterative] [--use_uncertainty] \
+      [--pose_backend cv2|jax] [--config_path ...] [--weight_path ...]
+
+Differences from the reference driver (TPU-native):
+  * the matcher forward is one jit program at a fixed padding bucket
+    (keypoints are padded + masked — numerically exact, see impx/ops/sinkhorn.py);
+  * `--use_iterative` runs the whole match<->pose loop on device
+    (impx/eval/iterative.py) instead of host OpenCV per iteration;
+  * `--pose_backend jax` replaces host MAGSAC with on-device RANSAC.
+"""
+from __future__ import annotations
+
+import argparse
+import os.path as osp
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from impx.models import MatcherConfig, DGNNS, AdaGMN
+from impx.data.reader import StandardReader, pad_features, round_up
+from impx.eval.evaluator import AucEval
+from impx.geometry import pose as pose_metrics
+from impx.geometry.keypoints import normalize_keypoints, normalize_intrinsic
+
+parser = argparse.ArgumentParser(description="IMP (TPU)")
+parser.add_argument("--matching_method", type=str, default="IMP",
+                    choices=["IMP", "IMP_geo", "EIMP", "EIMP_geo"])
+parser.add_argument("--dataset", type=str, default="scannet")
+parser.add_argument("--feature_type", type=str, default="spp")
+parser.add_argument("--use_dual_softmax", action="store_true", default=False)
+parser.add_argument("--use_iterative", action="store_true", default=False)
+parser.add_argument("--use_uncertainty", action="store_true", default=False)
+parser.add_argument("--pose_backend", type=str, default="cv2", choices=["cv2", "jax"])
+parser.add_argument("--config_path", type=str, default=None)
+parser.add_argument("--weight_path", type=str, default=None)
+parser.add_argument("--weight_root", type=str, default="weights")
+parser.add_argument("--max_pairs", type=int, default=-1)
+parser.add_argument("--bucket", type=int, default=-1, help="keypoint padding bucket")
+
+# reference weight-name table (eval/eval_imp.py:274-329)
+WEIGHT_TABLE = {
+    "IMP_geo": {"spp": {"scannet": "imp_geo_spp_scannet.pth", "yfcc": "imp_geo_spp_yfcc.pth"},
+                "sift": {"scannet": "imp_geo_sift.pth", "yfcc": "imp_geo_sift.pth"}},
+    "IMP": {"spp": {"scannet": "imp_spp.pth", "yfcc": "imp_spp.pth"},
+            "sift": {"scannet": "imp_sift.pth", "yfcc": "imp_sift.pth"}},
+    "EIMP": {"spp": {"scannet": "eimp_spp.pth", "yfcc": "eimp_spp.pth"},
+             "sift": {"scannet": "eimp_sift.pth", "yfcc": "eimp_sift.pth"}},
+    "EIMP_geo": {"spp": {"scannet": "eimp_geo_spp_scannet.pth", "yfcc": "eimp_geo_spp_yfcc.pth"},
+                 "sift": {"scannet": "eimp_geo_sift.pth", "yfcc": "eimp_geo_sift.pth"}},
+}
+
+
+def build_model(matching_method: str, feature: str, use_sinkhorn: bool = True,
+                n_layers: int = 15):
+    cfg = MatcherConfig.eval_config(feature, n_layers=n_layers)
+    if not use_sinkhorn:
+        cfg = MatcherConfig(**{**cfg.__dict__, "with_sinkhorn": False})
+    if matching_method.startswith("EIMP"):
+        return AdaGMN(cfg)
+    return DGNNS(cfg)
+
+
+def load_params(model, weight_file: str | None):
+    if weight_file and osp.isfile(weight_file):
+        from impx.tools.convert_torch import load_matcher_checkpoint
+
+        print(f"Loading converted torch weights from {weight_file}")
+        return load_matcher_checkpoint(weight_file, model.config, model.sharing)
+    print("WARNING: no weights found — using random init (synthetic/dev mode)")
+    return model.init(jax.random.PRNGKey(0))
+
+
+def evaluate(model, params, reader, error_th: float, eval_config: dict, args) -> dict:
+    thresholds = [5, 10, 20, 50]
+    pose_errors, precisions, matching_scores, stop_its = [], [], [], []
+    n_pairs = len(reader) if args.max_pairs < 0 else min(args.max_pairs, len(reader))
+
+    # choose the padding bucket from the dataset's max keypoint count
+    bucket = args.bucket
+    if bucket <= 0:
+        bucket = round_up(reader.num_kpt, 128)
+
+    produce = jax.jit(
+        lambda p, d: model.produce_matches(p, d, p=0.2, only_last=True))
+    iterative_fn = None
+
+    evaluator = AucEval({**eval_config, "pose_backend": args.pose_backend})
+    key = jax.random.PRNGKey(0)
+    t_start = time.time()
+    t_device = 0.0
+
+    for index in range(n_pairs):
+        info = reader.run(index)
+        x0, d0, v0 = pad_features(info["x1"], info["desc1"], bucket)
+        x1, d1, v1 = pad_features(info["x2"], info["desc2"], bucket)
+        K0, K1 = info["K1"], info["K2"]
+        h0, w0 = info.get("img_size1", (480, 640))
+        h1, w1 = info.get("img_size2", (480, 640))
+
+        norm_k0 = np.asarray(normalize_keypoints(jnp.asarray(x0[:, :2]), h0, w0))
+        norm_k1 = np.asarray(normalize_keypoints(jnp.asarray(x1[:, :2]), h1, w1))
+        feed = {
+            "descriptors0": jnp.asarray(d0)[None],
+            "descriptors1": jnp.asarray(d1)[None],
+            "norm_keypoints0": jnp.asarray(norm_k0)[None],
+            "norm_keypoints1": jnp.asarray(norm_k1)[None],
+            "scores0": jnp.asarray(x0[:, 2])[None],
+            "scores1": jnp.asarray(x1[:, 2])[None],
+            "valid0": jnp.asarray(v0)[None],
+            "valid1": jnp.asarray(v1)[None],
+        }
+
+        t0 = time.time()
+        if args.use_iterative:
+            from impx.eval.iterative import IterativeMatcher
+            from impx.ransac.pose_solver import _norm_threshold
+
+            x0n = np.asarray(normalize_intrinsic(jnp.asarray(x0[:, :2]), jnp.asarray(K0)))
+            x1n = np.asarray(normalize_intrinsic(jnp.asarray(x1[:, :2]), jnp.asarray(K1)))
+            feed["x0n"] = jnp.asarray(x0n)
+            feed["x1n"] = jnp.asarray(x1n)
+            if iterative_fn is None:
+                nt = _norm_threshold(error_th, K0, K1)
+                iterative_fn = IterativeMatcher(
+                    model, params, norm_thresh=nt, match_ratio=0.1,
+                    min_kpts=25, with_uncertainty=args.use_uncertainty)
+            key, sub = jax.random.split(key)
+            out = iterative_fn.run(feed, sub)
+            matches = np.asarray(out["indices0"])
+            pred_R, pred_t = np.asarray(out["R"]), np.asarray(out["t"])
+            has_pose = bool(out["has_pose"])
+            stop_its.append(int(out["stopped_at"]))
+        else:
+            out = produce(params, feed)
+            matches = np.asarray(out["indices0"][-1][0])
+            pred_R = pred_t = None
+            has_pose = False
+            stop_its.append(model.config.n_layers)
+        t_device += time.time() - t0
+
+        valid = matches > -1
+        mkpts0 = x0[valid, :2]
+        mkpts1 = x1[np.clip(matches[valid], 0, bucket - 1), :2]
+        T_0to1 = np.hstack([info["r_gt"], info["t_gt"].reshape(3, 1)])
+
+        # precision / matching score against GT E
+        norm_m0 = np.asarray(normalize_intrinsic(jnp.asarray(mkpts0), jnp.asarray(K0)))
+        norm_m1 = np.asarray(normalize_intrinsic(jnp.asarray(mkpts1), jnp.asarray(K1)))
+        if len(norm_m0) > 0:
+            from impx.geometry import compute_epi_inlier
+
+            correct = np.asarray(compute_epi_inlier(
+                jnp.asarray(norm_m0), jnp.asarray(norm_m1), jnp.asarray(info["e"]), 0.005))
+            precision = float(correct.mean())
+            matching_score = float(correct.sum() / max(len(info["x1"]), 1))
+        else:
+            precision = matching_score = 0.0
+
+        if has_pose:
+            err_t, err_R = pose_metrics.compute_pose_error(
+                jnp.asarray(T_0to1), jnp.asarray(pred_R), jnp.asarray(pred_t))
+            err_t, err_R = float(err_t), float(err_R)
+        else:
+            from impx.ransac.pose_solver import estimate_pose
+
+            ret = estimate_pose(mkpts0, mkpts1, K0, K1, error_th) if len(mkpts0) >= 5 else None
+            if ret is None:
+                err_t = err_R = np.inf
+            else:
+                _, R_est, t_est, _ = ret
+                err_t, err_R = (float(x) for x in pose_metrics.compute_pose_error(
+                    jnp.asarray(T_0to1), jnp.asarray(R_est), jnp.asarray(t_est)))
+
+        pose_errors.append(max(err_R, err_t))
+        precisions.append(precision)
+        matching_scores.append(matching_score)
+
+        if (index + 1) % 100 == 0 or index + 1 == n_pairs:
+            aucs = [100 * a for a in pose_metrics.pose_auc(pose_errors, thresholds)]
+            print(f"[{index + 1}/{n_pairs}] AUC@5/10/20/50: "
+                  f"{aucs[0]:.2f}/{aucs[1]:.2f}/{aucs[2]:.2f}/{aucs[3]:.2f} "
+                  f"Prec {100 * np.mean(precisions):.2f} "
+                  f"MScore {100 * np.mean(matching_scores):.2f} "
+                  f"({t_device / (index + 1) * 1000:.1f} ms/pair device)")
+
+    aucs = [100 * a for a in pose_metrics.pose_auc(pose_errors, thresholds)]
+    return {
+        "auc": dict(zip(thresholds, aucs)),
+        "precision": 100 * float(np.mean(precisions)),
+        "matching_score": 100 * float(np.mean(matching_scores)),
+        "mean_stop_iteration": float(np.mean(stop_its)),
+        "pairs_per_sec_device": (len(pose_errors) / t_device) if t_device > 0 else 0.0,
+        "total_time": time.time() - t_start,
+    }
+
+
+def main():
+    args = parser.parse_args()
+    feat = args.feature_type
+    error_th = 3 if args.dataset == "scannet" else 1
+
+    if args.config_path:
+        import yaml
+
+        with open(args.config_path) as f:
+            config = yaml.safe_load(f)
+        read_config = config["reader"]
+        eval_config = config["evaluator"]
+    else:
+        default = f"configs/{args.dataset}_eval_gm{'' if feat == 'spp' else '_sift'}.yaml"
+        if osp.isfile(default):
+            import yaml
+
+            with open(default) as f:
+                config = yaml.safe_load(f)
+            read_config = config["reader"]
+            eval_config = config["evaluator"]
+        else:
+            raise SystemExit(f"no config found at {default}; pass --config_path")
+
+    model = build_model(args.matching_method, feat, use_sinkhorn=not args.use_dual_softmax)
+    weight_file = args.weight_path or osp.join(
+        args.weight_root, WEIGHT_TABLE[args.matching_method][feat][args.dataset])
+    params = load_params(model, weight_file)
+
+    reader = StandardReader(read_config)
+    results = evaluate(model, params, reader, error_th, eval_config, args)
+    print(f"Results of {args.matching_method} on {args.dataset} "
+          f"(iterative={args.use_iterative}, uncertainty={args.use_uncertainty}, "
+          f"pose={args.pose_backend}):")
+    for k, v in results.items():
+        print(f"  {k}: {v}")
+    return results
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,54 @@
+"""Typed matcher configuration.
+
+One config type serves GM / DGNNS (IMP) / AdaGMN (EIMP); defaults mirror
+reference nets/gm.py:30-44 (`GM.default_config`) and the eval-time settings in
+eval/eval_imp.py:259-270.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Sequence
+
+
+@dataclasses.dataclass(frozen=True)
+class MatcherConfig:
+    descriptor_dim: int = 256
+    keypoint_encoder: Sequence[int] = (32, 64, 128, 256)
+    n_layers: int = 9  # self+cross iterations
+    num_heads: int = 4
+    sinkhorn_iterations: int = 20
+    match_threshold: float = 0.2
+    with_sinkhorn: bool = True
+    ac_fn: str = "relu"
+    norm_fn: str = "bn"
+    n_min_tokens: int = 256
+    # EIMP
+    first_it_to_update: int = 2
+    # compute dtype for the attention einsums ('float32' | 'bfloat16')
+    compute_dtype: str = "float32"
+
+    @property
+    def gnn_layers(self) -> list[str]:
+        return ["self", "cross"] * self.n_layers
+
+    def sharing_layers(self, share: bool) -> list[bool]:
+        """DGNNS/AdaGMN pattern (reference nets/gms.py:17, nets/adgm.py:18):
+        first two iterations fully recompute, then alternate
+        (recompute, recompute, share, share) per layer."""
+        if not share:
+            return [False] * (2 * self.n_layers)
+        pattern = [False, False] * 2 + [False, False, True, True] * 21
+        return pattern[: 2 * self.n_layers]
+
+    @classmethod
+    def eval_config(cls, feature: str = "spp", n_layers: int = 15) -> "MatcherConfig":
+        """The published eval configuration (reference eval/eval_imp.py:259-270)."""
+        return cls(
+            descriptor_dim=256 if feature == "spp" else 128,
+            n_layers=n_layers,
+            sinkhorn_iterations=20,
+            match_threshold=0.2,
+            ac_fn="relu",
+            norm_fn="in",
+            n_min_tokens=256,
+        )

@@ -1,0 +1,42 @@
+"""DGNNS — the "IMP" matcher: GM with SAGNN attention sharing.
+
+Mirrors reference nets/gms.py: identical to GM except some layers reuse the
+attention probabilities of the previous layer of the same kind instead of
+recomputing QK (sharing pattern in MatcherConfig.sharing_layers, reference
+gms.py:17). In this functional rebuild the whole difference is the layer
+stack's parameter structure + the carried prob state, so DGNNS is just GM
+with `sharing = True` — produce_matches / forward_train / forward_one_layer
+in gm.py already thread the shared probabilities the way
+gms.py:139-258 / gms.py:48-137 do.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from impx.models.gm import GM
+
+
+class DGNNS(GM):
+    sharing = True
+
+    def pool(self, *args, **kwargs):
+        """No pooling in plain IMP (reference gms.py:316-317)."""
+        return None, None
+
+    def run(self, params, data):
+        """Eval API returning matched index pairs (reference gms.py:284-314).
+        Note: returns fixed-shape indices0; hosts extract pairs with
+        indices0 >= 0 (kept on device here for jit-friendliness)."""
+        feed = {
+            "descriptors0": data["desc1"],
+            "descriptors1": data["desc2"],
+            "norm_keypoints0": data["x1"][..., :2],
+            "norm_keypoints1": data["x2"][..., :2],
+            "scores0": data["x1"][..., -1],
+            "scores1": data["x2"][..., -1],
+            "valid0": data.get("valid0"),
+            "valid1": data.get("valid1"),
+        }
+        out = self.produce_matches(params, feed, p=self.config.match_threshold, only_last=True)
+        indices0 = out["indices0"][-1]
+        return {"indices0": indices0, "mscores0": out["mscores0"][-1]}

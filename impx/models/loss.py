@@ -1,0 +1,76 @@
+"""Matching losses on the dustbin-augmented assignment matrix.
+
+Mirrors reference nets/loss.py (`GraphLoss`): mean NLL over ground-truth
+correspondences, NLL of the dustbin row/col for unmatched keypoints, optional
+hard-negative margin loss. Reference uses boolean-mask indexing (dynamic
+shapes); here everything is masked sums — identical values, static shapes.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+LOG_EPS = 1e-8  # reference loss.py:75
+
+
+def graph_loss(pred_scores, gt_matching_mask, with_hard_negative: bool = False,
+               neg_margin: float = 0.1):
+    """Returns dict(corr=, incorr=, neg=) of scalar losses
+    (reference loss.py:74-104 `compute_matching_loss_batch`)."""
+    log_p = jnp.log(jnp.abs(pred_scores) + LOG_EPS)
+    gt = gt_matching_mask.astype(pred_scores.dtype)
+
+    num_corr = jnp.sum(gt[:, :-1, :-1], axis=(1, 2))
+    num_corr = jnp.where(num_corr == 0, 1.0, num_corr)
+    loss_corr = jnp.sum(log_p[:, :-1, :-1] * gt[:, :-1, :-1], axis=(1, 2)) / num_corr
+    loss_corr = -jnp.mean(loss_corr)
+
+    num_incorr1 = jnp.sum(gt[:, :, -1], axis=1)
+    num_incorr2 = jnp.sum(gt[:, -1, :], axis=1)
+    l1 = jnp.sum(log_p[:, :, -1] * gt[:, :, -1], axis=1)
+    l2 = jnp.sum(log_p[:, -1, :] * gt[:, -1, :], axis=1)
+    m1 = num_incorr1 > 0
+    m2 = num_incorr2 > 0
+    mean1 = jnp.sum(jnp.where(m1, l1 / jnp.where(m1, num_incorr1, 1.0), 0.0)) / jnp.maximum(
+        jnp.sum(m1), 1)
+    mean2 = jnp.sum(jnp.where(m2, l2 / jnp.where(m2, num_incorr2, 1.0), 0.0)) / jnp.maximum(
+        jnp.sum(m2), 1)
+    any1 = jnp.any(m1)
+    loss_incorr = jnp.where(any1, -(mean1 + mean2) / 2.0, 0.0)
+
+    if with_hard_negative:
+        loss_neg = hard_negative_loss(pred_scores, gt, neg_margin)
+    else:
+        loss_neg = jnp.zeros((), pred_scores.dtype)
+    return {"corr": loss_corr, "incorr": loss_incorr, "neg": loss_neg}
+
+
+def hard_negative_loss(pred_scores, gt, neg_margin: float = 0.1):
+    """Margin between best true and best false assignment per row/col
+    (reference loss.py:106-123)."""
+    gt_inv = 1.0 - gt
+    pos_row = jnp.max(pred_scores[:, :-1, :] * gt[:, :-1, :], axis=2)
+    pos_col = jnp.max(pred_scores[:, :, :-1] * gt[:, :, :-1], axis=1)
+    neg_row = jnp.max(pred_scores[:, :-1, :] * gt_inv[:, :-1, :], axis=2)
+    neg_col = jnp.max(pred_scores[:, :, :-1] * gt_inv[:, :, :-1], axis=1)
+    loss_neg_row = -jnp.mean(jnp.minimum(pos_row - neg_row - neg_margin, 0.0))
+    loss_neg_col = -jnp.mean(jnp.minimum(pos_col - neg_col - neg_margin, 0.0))
+    return (loss_neg_row + loss_neg_col) / 2.0
+
+
+def matching_accuracy(indices0, gt_matching_mask, n_iters: int = 1):
+    """Correct/incorrect match counters (reference gm.py:207-214, loss.py:47-53).
+    indices0: [B, N] predicted matches (-1 unmatched); gt mask [B, N+1, M+1]."""
+    b = indices0.shape[0]
+    gt_matches = jnp.argmax(gt_matching_mask[:, :-1, :], axis=-1)
+    dust = gt_matching_mask.shape[-1] - 1
+    denom = b * n_iters
+    acc_corr = jnp.sum((indices0 == gt_matches) & (indices0 != -1) & (gt_matches < dust)) / denom
+    acc_incorr = jnp.sum((indices0 == -1) & (gt_matches == dust)) / denom
+    total_corr = jnp.sum(gt_matches < dust) / denom
+    total_incorr = jnp.sum(gt_matches == dust) / denom
+    return {
+        "acc_corr": acc_corr,
+        "acc_incorr": acc_incorr,
+        "total_acc_corr": total_corr,
+        "total_acc_incorr": total_incorr,
+    }

@@ -1,0 +1,1 @@
+from impx.parallel.mesh import make_mesh, shard_batch, replicate

@@ -1,0 +1,108 @@
+"""Relative-pose estimation from matched keypoints.
+
+Two backends with one interface mirroring reference eval/pose_estimation.py:92-115
+(`estimate_pose`: findEssentialMat + cheirality-checked decomposition):
+
+  * `estimate_pose_jax`  — fully on-device (batched RANSAC + SVD decomposition
+    + DLT cheirality). Fixed shapes; usable inside jit / the iterative loop.
+  * `estimate_pose_cv2`  — host OpenCV USAC_MAGSAC, protocol-exact with the
+    published eval numbers (same calls as the reference).
+
+Thresholds: the reference passes a pixel threshold and camera matrices to
+OpenCV, which normalizes internally by the mean focal length; we do the same
+conversion explicitly.
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from impx.geometry.triangulation import decompose_essential_mat
+from impx.ransac.ransac import estimate_essential_ransac
+
+
+def _norm_threshold(threshold_px: float, K0, K1) -> float:
+    """Pixel -> normalized threshold via mean focal (OpenCV convention)."""
+    f = (K0[0][0] + K0[1][1] + K1[0][0] + K1[1][1]) / 4.0
+    return threshold_px / f
+
+
+def normalize_pts(pts, K):
+    K = np.asarray(K)
+    return (np.asarray(pts) - K[:2, 2]) / np.array([K[0, 0], K[1, 1]])
+
+
+def estimate_pose_jax(
+    key,
+    x0n,
+    x1n,
+    valid,
+    norm_thresh: float,
+    num_hypotheses: int = 1024,
+    lo_iterations: int = 4,
+    distance_thresh: float = 1000.0,
+):
+    """On-device pose. x0n/x1n [N,2] normalized coords, valid [N] bool.
+
+    Returns dict(E, R, t, inliers [N] bool, num_inliers). jit-friendly.
+    """
+    out = estimate_essential_ransac(
+        key, x0n, x1n, valid, norm_thresh,
+        num_hypotheses=num_hypotheses, lo_iterations=lo_iterations,
+    )
+    E = out["E"]
+    e_mask = out["inliers"]
+    # cheirality disambiguation restricted to E-inliers
+    # (reference pose_estimation.py:110 decomposes on kpts[E_mask > 0])
+    R, t, mask_p, n_good = decompose_essential_mat(
+        E, x0n, x1n, distance_thresh=distance_thresh, valid=e_mask)
+    return {
+        "E": E,
+        "R": R,
+        "t": t,
+        "inliers": mask_p,
+        "num_inliers": jnp.sum(mask_p),
+        "num_e_inliers": out["num_inliers"],
+    }
+
+
+def estimate_pose_cv2(kpts0, kpts1, K0, K1, norm_thresh, conf: float = 0.99999,
+                      method: str = "magsac"):
+    """Host OpenCV path, protocol-identical to reference estimate_pose
+    (eval/pose_estimation.py:92-115) but with our jnp decomposition.
+
+    kpts0/kpts1: [N,2] pixel coordinates. Returns (E, R, t, mask) or None.
+    """
+    import cv2
+
+    kpts0 = np.ascontiguousarray(kpts0, dtype=np.float64)
+    kpts1 = np.ascontiguousarray(kpts1, dtype=np.float64)
+    if len(kpts0) < 5:
+        return None
+    m = cv2.USAC_MAGSAC if method == "magsac" else cv2.RANSAC
+    E, E_mask = cv2.findEssentialMat(
+        points1=kpts0, points2=kpts1,
+        cameraMatrix1=np.asarray(K0, np.float64), cameraMatrix2=np.asarray(K1, np.float64),
+        distCoeffs1=None, distCoeffs2=None,
+        threshold=norm_thresh, prob=conf, mask=None, method=m,
+    )
+    if E is None or E.shape[0] != 3 or E.shape[1] != 3:
+        return None
+
+    sel = E_mask.ravel() > 0
+    # normalize by the averaged intrinsics (reference pose_estimation.py:29-33)
+    K = (np.asarray(K0) + np.asarray(K1)) / 2.0
+    x0n = (kpts0[sel] - K[:2, 2]) / np.array([K[0, 0], K[1, 1]])
+    x1n = (kpts1[sel] - K[:2, 2]) / np.array([K[0, 0], K[1, 1]])
+    R, t, mask_p, _ = decompose_essential_mat(
+        jnp.asarray(E), jnp.asarray(x0n), jnp.asarray(x1n))
+    mask = E_mask.ravel() >= 0
+    mask[sel] = np.asarray(mask_p)
+    return np.asarray(E), np.asarray(R), np.asarray(t), mask
+
+
+def estimate_pose(kpts0, kpts1, K0, K1, norm_thresh, conf: float = 0.99999,
+                  method: str = "magsac"):
+    """Reference-compatible host entry point (pixel inputs, cv2 backend)."""
+    return estimate_pose_cv2(kpts0, kpts1, K0, K1, norm_thresh, conf, method)

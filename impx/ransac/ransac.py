@@ -1,0 +1,91 @@
+"""Batched on-device RANSAC for the essential matrix.
+
+TPU-native replacement for cv2.findEssentialMat(USAC_MAGSAC) — the host C++
+call the reference makes *inside* its iterative matching loop
+(eval/matching.py:84-87), forcing a device->host round-trip per iteration.
+Here the whole hypothesize-and-verify pipeline is fixed-shape jnp:
+
+  1. sample H minimal subsets at once (Gumbel top-k over valid points =
+     uniform sampling without replacement, no rejection loops);
+  2. solve all hypotheses with the batched 8-point solver (one vmapped eigh);
+  3. score all hypotheses against all points in one [H, N] Sampson-distance
+     matrix with a MAGSAC-style truncated-quadratic gain;
+  4. local optimization: iteratively reweighted least squares on the best
+     model's inliers (fixed iteration count, lax.fori_loop).
+
+Everything jits; vmap over pairs gives batched multi-pair RANSAC for free.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from impx.geometry.epipolar import sampson_distance
+from impx.ransac.eight_point import essential_from_points
+
+
+def _sample_minimal_sets(key, valid, num_hypotheses: int, sample_size: int):
+    """[H, sample_size] indices of valid points, uniform without replacement."""
+    n = valid.shape[-1]
+    z = jax.random.uniform(key, (num_hypotheses, n))
+    z = jnp.where(valid[None, :], z, -jnp.inf)
+    _, idx = jax.lax.top_k(z, sample_size)
+    return idx
+
+
+def _score(E, x0, x1, valid, threshold):
+    """MAGSAC-style truncated-quadratic gain + inlier mask for one model."""
+    d2 = sampson_distance(x0, x1, E)
+    t2 = threshold * threshold
+    inlier = (d2 < t2) & valid
+    gain = jnp.sum(jnp.where(valid, jnp.maximum(0.0, 1.0 - d2 / t2), 0.0), axis=-1)
+    return gain, inlier, d2
+
+
+@partial(jax.jit, static_argnames=("num_hypotheses", "sample_size", "lo_iterations"))
+def estimate_essential_ransac(
+    key: jax.Array,
+    x0: jax.Array,
+    x1: jax.Array,
+    valid: jax.Array,
+    threshold: float,
+    num_hypotheses: int = 1024,
+    sample_size: int = 8,
+    lo_iterations: int = 4,
+):
+    """x0, x1: [N, 2] normalized camera coordinates; valid: [N] bool;
+    threshold: inlier threshold in normalized coordinates (Sampson).
+
+    Returns dict(E [3,3], inliers [N] bool, gain scalar, num_inliers).
+    """
+    idx = _sample_minimal_sets(key, valid, num_hypotheses, sample_size)  # [H, S]
+    sx0 = x0[idx]  # [H, S, 2]
+    sx1 = x1[idx]
+    Es = essential_from_points(sx0, sx1)  # [H, 3, 3] (batched eigh inside)
+
+    gains, _, _ = jax.vmap(lambda E: _score(E, x0, x1, valid, threshold))(Es)
+    best = jnp.argmax(gains)
+    E = Es[best]
+
+    # local optimization: IRLS with truncated weights on the current inliers
+    def lo_body(_, E):
+        d2 = sampson_distance(x0, x1, E)
+        t2 = threshold * threshold
+        w = jnp.where((d2 < t2) & valid, 1.0 / (1.0 + d2 / t2), 0.0)
+        n_in = jnp.sum(w > 0)
+        E_new = essential_from_points(x0, x1, weights=w)
+        # keep the refit only if it does not lose gain
+        g_old, _, _ = _score(E, x0, x1, valid, threshold)
+        g_new, _, _ = _score(E_new, x0, x1, valid, threshold)
+        return jnp.where((g_new >= g_old) & (n_in >= 8), E_new, E)
+
+    E = jax.lax.fori_loop(0, lo_iterations, lo_body, E)
+    gain, inliers, _ = _score(E, x0, x1, valid, threshold)
+    return {
+        "E": E,
+        "inliers": inliers,
+        "gain": gain,
+        "num_inliers": jnp.sum(inliers),
+    }

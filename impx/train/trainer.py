@@ -1,0 +1,219 @@
+"""Training loop: epochs, metrics, checkpoints, in-training eval.
+
+Mirrors reference trainer.py semantics:
+  * manual exponential LR decay handled inside the jit step (step.py);
+  * NaN/Inf guard: skip bad batches, abort the epoch after 10 in a row
+    (trainer.py:119-150) — here the flag comes back from the device step;
+  * per-epoch checkpointing + best-checkpoint tracking (trainer.py:269-291;
+    the reference's best-comparison is inverted for eval metrics — fixed here:
+    higher eval value == better);
+  * run dir named from timestamp + hyperparams (trainer.py:56-61);
+  * metrics to console, log.txt and TensorBoard (trainer.py:174-202);
+  * dataset resampled every epoch with seed=epoch (trainer.py:295).
+
+Checkpoints are orbax (params + opt state + step — the reference loses
+optimizer state on resume, trainer.py:42-54; we don't).
+"""
+from __future__ import annotations
+
+import datetime
+import json
+import os
+import os.path as osp
+import time
+from typing import Any, Callable, Iterable
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from impx.train.step import TrainHyperParams, make_train_step, make_optimizer
+from impx.parallel.mesh import make_mesh, shard_batch, replicate
+
+
+class MetricWriter:
+    """Console + log.txt + jsonl (+ TensorBoard when available)."""
+
+    def __init__(self, save_dir: str):
+        os.makedirs(save_dir, exist_ok=True)
+        self.log_file = open(osp.join(save_dir, "log.txt"), "a+")
+        self.jsonl = open(osp.join(save_dir, "metrics.jsonl"), "a+")
+        self.tb = None
+        try:
+            from tensorboardX import SummaryWriter
+
+            self.tb = SummaryWriter(save_dir)
+        except Exception:
+            pass
+
+    def write(self, step: int, metrics: dict[str, float], prefix: str = ""):
+        payload = {"step": step, **{prefix + k: float(v) for k, v in metrics.items()}}
+        self.jsonl.write(json.dumps(payload) + "\n")
+        self.jsonl.flush()
+        if self.tb is not None:
+            for k, v in metrics.items():
+                self.tb.add_scalar(prefix + k, float(v), global_step=step)
+
+    def text(self, msg: str):
+        print(msg)
+        self.log_file.write(msg + "\n")
+        self.log_file.flush()
+
+    def close(self):
+        self.log_file.close()
+        self.jsonl.close()
+        if self.tb is not None:
+            self.tb.close()
+
+
+class Trainer:
+    def __init__(
+        self,
+        model,
+        dataset,
+        args: Any,
+        eval_fn: Callable | None = None,
+        mesh=None,
+    ):
+        """dataset: object with __len__/__getitem__ returning training dicts and
+        a build_dataset(seed) resample hook (duck-typed to the reference's
+        Megadepth); eval_fn(params) -> dict of scalars (higher better)."""
+        self.model = model
+        self.dataset = dataset
+        self.args = args
+        self.eval_fn = eval_fn
+        self.mesh = mesh if mesh is not None else make_mesh()
+
+        self.hp = TrainHyperParams(
+            lr=args.lr, min_lr=getattr(args, "min_lr", 1e-6),
+            decay_rate=getattr(args, "decay_rate", 0.999992),
+            decay_iter=getattr(args, "decay_iter", 200_000),
+            optim=getattr(args, "optim", "adam"),
+            weight_decay=getattr(args, "weight_decay", 5e-4),
+        )
+        self.step_fn = make_train_step(model, self.hp)
+        self.tx = make_optimizer(self.hp)
+
+        now = datetime.datetime.now().strftime("%Y_%m_%d_%H_%M_%S")
+        tag = (f"{now}_{args.network}_L{model.config.n_layers}_{args.feature}"
+               f"_B{args.batch_size}_K{getattr(args, 'max_keypoints', 0)}"
+               f"_M{model.config.match_threshold}_{model.config.ac_fn}"
+               f"_{model.config.norm_fn}_{self.hp.optim}")
+        self.save_dir = osp.join(args.save_path, tag)
+        self.tag = tag
+        self.writer = MetricWriter(self.save_dir)
+        with open(osp.join(self.save_dir, "args.json"), "w") as f:
+            json.dump({k: str(v) for k, v in vars(args).items()}, f, indent=2)
+
+        self.iteration = 0
+        self.epoch = 0
+        self.best_value = -np.inf
+
+    # ------------------------------------------------------------- checkpoints
+    def save_checkpoint(self, params, opt_state, name: str | None = None):
+        import orbax.checkpoint as ocp
+
+        name = name or f"{self.args.network}.{self.epoch:02d}"
+        path = osp.abspath(osp.join(self.save_dir, name))
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save(path, {
+            "params": params,
+            "opt_state": opt_state,
+            "meta": {"epoch": self.epoch, "iteration": self.iteration,
+                     "best_value": self.best_value},
+        }, force=True)
+        ckptr.wait_until_finished()
+        return path
+
+    def restore_checkpoint(self, path: str, params, opt_state):
+        import orbax.checkpoint as ocp
+
+        ckptr = ocp.StandardCheckpointer()
+        target = {"params": params, "opt_state": opt_state,
+                  "meta": {"epoch": 0, "iteration": 0, "best_value": 0.0}}
+        restored = ckptr.restore(osp.abspath(path), target)
+        self.epoch = int(restored["meta"]["epoch"]) + 1
+        self.iteration = int(restored["meta"]["iteration"])
+        self.best_value = float(restored["meta"]["best_value"])
+        return restored["params"], restored["opt_state"]
+
+    # ------------------------------------------------------------------ epochs
+    def _batches(self) -> Iterable[dict]:
+        bs = self.args.batch_size
+        idx = 0
+        n = len(self.dataset)
+        while idx + bs <= n:
+            samples = [self.dataset[i] for i in range(idx, idx + bs)]
+            batch = {
+                k: np.stack([s[k] for s in samples]).astype(np.float32)
+                for k in samples[0]
+                if isinstance(samples[0][k], np.ndarray)
+            }
+            yield shard_batch(self.mesh, batch)
+            idx += bs
+
+    def process_epoch(self, params, opt_state):
+        its_per_epoch = getattr(self.args, "its_per_epoch", -1)
+        log_intervals = getattr(self.args, "log_intervals", 50)
+        losses, n_bad = [], 0
+
+        for bidx, batch in enumerate(self._batches()):
+            if 0 <= its_per_epoch <= bidx:
+                break
+            params, opt_state, metrics = self.step_fn(
+                params, opt_state, jnp.asarray(self.iteration), batch)
+            self.iteration += 1
+
+            if int(metrics["bad_loss"]) > 0:
+                n_bad += 1
+                self.writer.text(f"Loss is INF/NAN ({n_bad}/10)")
+                if n_bad >= 10:
+                    self.writer.text("Abort epoch: 10 consecutive INF/NAN losses")
+                    return params, opt_state, None
+                continue
+            n_bad = 0
+            loss = float(metrics["loss"])
+            losses.append(loss)
+
+            if bidx % log_intervals == 0:
+                acc_c = float(metrics["acc_corr"])
+                acc_i = float(metrics["acc_incorr"])
+                self.writer.text(
+                    f"Epoch [{self.epoch}/{self.args.epochs}] Step [{bidx}/{self.iteration}] "
+                    f"Loss [{loss:.3f}] MS [{float(metrics['max_mscore']):.2f}] "
+                    f"Acc [c{acc_c:.1f} n{acc_i:.1f}] lr {float(metrics['lr']):.2e}")
+                self.writer.write(self.iteration, {
+                    k: float(v) for k, v in metrics.items() if k != "bad_loss"})
+        return params, opt_state, (float(np.mean(losses)) if losses else None)
+
+    def train(self, params, opt_state=None):
+        if opt_state is None:
+            opt_state = self.tx.init(params)
+        params = replicate(self.mesh, params)
+        opt_state = replicate(self.mesh, opt_state)
+
+        while self.epoch < self.args.epochs:
+            t0 = time.time()
+            params, opt_state, train_loss = self.process_epoch(params, opt_state)
+            if train_loss is None:  # INF/NAN abort -> retry epoch (trainer.py:256-259)
+                continue
+
+            if self.eval_fn is not None and self.epoch % 5 == 0:
+                eval_out = self.eval_fn(params)
+                self.writer.write(self.iteration, eval_out, prefix="eval_")
+                value = eval_out.get("prec", -train_loss)
+            else:
+                value = -train_loss
+
+            path = self.save_checkpoint(params, opt_state)
+            if value > self.best_value:  # higher is better (reference bug fixed)
+                self.best_value = value
+                self.save_checkpoint(params, opt_state, name=f"{self.tag}.best")
+            self.writer.text(
+                f"Epoch {self.epoch}: loss {train_loss:.4f} value {value:.4f} "
+                f"({time.time() - t0:.1f}s) -> {path}")
+
+            self.epoch += 1
+            if hasattr(self.dataset, "build_dataset"):
+                self.dataset.build_dataset(seed=self.epoch)
+        return params, opt_state

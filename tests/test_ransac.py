@@ -1,0 +1,86 @@
+"""On-device RANSAC: synthetic ground-truth recovery under outliers + noise,
+masked-padding invariance, and agreement with the OpenCV host path."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from impx import geometry as G
+from impx.ransac import essential_from_points, estimate_essential_ransac, estimate_pose_jax
+from tests.test_geometry import synthetic_pair, random_rotation
+
+
+def test_eight_point_exact():
+    rs = np.random.RandomState(0)
+    R, t, x0, x1 = synthetic_pair(rs, n=64)
+    E_gt = np.asarray(G.essential_from_pose(jnp.asarray(R), jnp.asarray(t)))
+    E = np.asarray(essential_from_points(jnp.asarray(x0), jnp.asarray(x1)))
+    E_gt = E_gt / np.linalg.norm(E_gt)
+    # E defined up to sign
+    diff = min(np.abs(E - E_gt).max(), np.abs(E + E_gt).max())
+    assert diff < 1e-4, diff  # fp32 eigh precision
+
+
+def test_ransac_with_outliers():
+    rs = np.random.RandomState(1)
+    n_in, n_out = 300, 200
+    R, t, x0, x1 = synthetic_pair(rs, n=n_in, noise=1e-3)
+    # outliers: random mismatched points
+    _, _, ox0, ox1 = synthetic_pair(rs, n=n_out)
+    x0a = np.vstack([x0, ox0])
+    x1a = np.vstack([x1, np.roll(ox1, 7, axis=0)])
+    valid = np.ones(n_in + n_out, bool)
+
+    out = estimate_pose_jax(
+        jax.random.PRNGKey(0), jnp.asarray(x0a), jnp.asarray(x1a),
+        jnp.asarray(valid), norm_thresh=3e-3, num_hypotheses=1024)
+    err_R = float(G.angle_error_mat(jnp.asarray(R), out["R"]))
+    err_t = float(G.angle_error_vec(jnp.asarray(t), out["t"]))
+    assert err_R < 1.5, err_R
+    assert err_t < 1.5, err_t
+    inl = np.asarray(out["inliers"])
+    # most true inliers recovered, few outliers admitted
+    assert inl[:n_in].mean() > 0.8
+    assert inl[n_in:].mean() < 0.1
+
+
+def test_ransac_padding_invariance():
+    """Padded + masked points must not change the estimate."""
+    rs = np.random.RandomState(2)
+    R, t, x0, x1 = synthetic_pair(rs, n=100, noise=1e-3)
+    valid = np.ones(100, bool)
+    out1 = estimate_pose_jax(jax.random.PRNGKey(3), jnp.asarray(x0), jnp.asarray(x1),
+                             jnp.asarray(valid), norm_thresh=3e-3, num_hypotheses=512)
+    pad = 28
+    x0p = np.vstack([x0, np.full((pad, 2), 123.0)])
+    x1p = np.vstack([x1, np.full((pad, 2), -77.0)])
+    validp = np.concatenate([valid, np.zeros(pad, bool)])
+    out2 = estimate_pose_jax(jax.random.PRNGKey(3), jnp.asarray(x0p), jnp.asarray(x1p),
+                             jnp.asarray(validp), norm_thresh=3e-3, num_hypotheses=512)
+    err_R = float(G.angle_error_mat(out1["R"], out2["R"]))
+    assert err_R < 0.5, err_R
+    assert not np.asarray(out2["inliers"])[100:].any()
+
+
+def test_ransac_vs_cv2_magsac():
+    cv2 = pytest.importorskip("cv2")
+    rs = np.random.RandomState(3)
+    n_in, n_out = 400, 100
+    R, t, x0, x1 = synthetic_pair(rs, n=n_in, noise=1e-3)
+    _, _, ox0, ox1 = synthetic_pair(rs, n=n_out)
+    x0a = np.vstack([x0, ox0])
+    x1a = np.vstack([x1, np.roll(ox1, 3, axis=0)])
+
+    E_cv, mask_cv = cv2.findEssentialMat(
+        x0a, x1a, np.eye(3), method=cv2.USAC_MAGSAC, threshold=3e-3, prob=0.99999)
+    _, R_cv, t_cv, _ = cv2.recoverPose(E_cv[:3], x0a, x1a, np.eye(3), mask=mask_cv.copy())
+
+    out = estimate_pose_jax(
+        jax.random.PRNGKey(1), jnp.asarray(x0a), jnp.asarray(x1a),
+        jnp.asarray(np.ones(n_in + n_out, bool)), norm_thresh=3e-3, num_hypotheses=2048)
+
+    err_cv = float(G.angle_error_mat(jnp.asarray(R), jnp.asarray(R_cv)))
+    err_jax = float(G.angle_error_mat(jnp.asarray(R), out["R"]))
+    # within 1 degree of the OpenCV result's accuracy on this easy scene
+    assert err_jax < err_cv + 1.0, (err_jax, err_cv)
