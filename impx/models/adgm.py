@@ -71,10 +71,14 @@ class AdaGMN(DGNNS):
             n_min_tokens = self.config.n_min_tokens
         th = mscore_th * uncertainty_ratio
 
-        norm00 = _key_attention_mass(prob00, keep0)  # keys: image0
-        norm01 = _key_attention_mass(prob01, keep1)  # keys: image0
-        norm11 = _key_attention_mass(prob11, keep1)  # keys: image1
-        norm10 = _key_attention_mass(prob10, keep0)  # keys: image1
+        if isinstance(prob00, dict):  # fused path: {'q','k'} states, not probs
+            norm00, norm01, norm11, norm10 = self._masses_from_qk(
+                prob00, prob01, prob11, prob10, keep0, keep1)
+        else:
+            norm00 = _key_attention_mass(prob00, keep0)  # keys: image0
+            norm01 = _key_attention_mass(prob01, keep1)  # keys: image0
+            norm11 = _key_attention_mass(prob11, keep1)  # keys: image1
+            norm10 = _key_attention_mass(prob10, keep0)  # keys: image1
 
         inner = pred_score[:, :-1, :-1]
         pids0 = (jnp.sum(inner, axis=2) >= th) & keep0
@@ -93,6 +97,26 @@ class AdaGMN(DGNNS):
         new_keep0 = side(keep0, pids0, norm00, norm01)
         new_keep1 = side(keep1, pids1, norm11, norm10)
         return new_keep0, new_keep1
+
+    def _masses_from_qk(self, s00, s01, s11, s10, keep0, keep1):
+        """Pooling statistics from stored q/k projections via the Pallas
+        column-mass kernel — same values as summing the prob tensors
+        (reference adgm.py:424-432) without materializing them."""
+        from impx.ops.attention import _interpret
+        from impx.ops.pallas.attention import attention_key_mass
+
+        interp = _interpret()
+
+        def norm(mass):
+            return mass / (jnp.sum(mass, axis=1, keepdims=True) + 1e-15)
+
+        # s00: queries=0, keys=0; s01: queries=1, keys=0;
+        # s11: queries=1, keys=1; s10: queries=0, keys=1
+        m00 = attention_key_mass(s00["q"], s00["k"], keep0, keep0, interpret=interp)
+        m01 = attention_key_mass(s01["q"], s01["k"], keep0, keep1, interpret=interp)
+        m11 = attention_key_mass(s11["q"], s11["k"], keep1, keep1, interpret=interp)
+        m10 = attention_key_mass(s10["q"], s10["k"], keep1, keep0, interpret=interp)
+        return norm(m00), norm(m01), norm(m11), norm(m10)
 
     def pool(self, pred_score, prob00, prob01, prob11, prob10,
              mscore_th=0.1, uncertainty_ratio=1.0, n_min_tokens=256,

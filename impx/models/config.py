@@ -26,6 +26,9 @@ class MatcherConfig:
     first_it_to_update: int = 2
     # compute dtype for the attention einsums ('float32' | 'bfloat16')
     compute_dtype: str = "float32"
+    # attention implementation: 'xla' (materializes probs; differentiable) or
+    # 'pallas' (fused kernel, no HBM prob traffic; inference paths)
+    attn_impl: str = "xla"
 
     @property
     def gnn_layers(self) -> list[str]:

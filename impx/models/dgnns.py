@@ -19,6 +19,17 @@ from impx.models.gm import GM
 class DGNNS(GM):
     sharing = True
 
+    def produce_matches(self, params, data, p: float = 0.2, only_last: bool = False, **kw):
+        """Route the inference forward through the scan fast path when the
+        fused kernels are enabled (2 kernel call sites total; see
+        impx/models/fast.py) — numerically identical to the unrolled path."""
+        if self.config.attn_impl == "pallas" and self.config.norm_fn == "in":
+            from impx.models.fast import forward_scan, stack_params
+
+            stacked = stack_params(params, self.config)
+            return forward_scan(self, stacked, data, p=p, only_last=only_last)
+        return super().produce_matches(params, data, p=p, only_last=only_last, **kw)
+
     def pool(self, *args, **kwargs):
         """No pooling in plain IMP (reference gms.py:316-317)."""
         return None, None

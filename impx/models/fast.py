@@ -1,0 +1,193 @@
+"""Scan-based fast forward for DGNNS/AdaGMN-style matchers (TPU fast path).
+
+Motivation: (a) compile time — the unrolled 15-iteration forward instantiates
+the fused attention kernel at ~60 call sites, and this environment's compile
+service does not deduplicate identical Mosaic kernels (each site ~4 min); the
+scan body contains exactly TWO kernel call sites (one self, one cross)
+regardless of depth. (b) It is the idiomatic XLA structure anyway: one
+compiled body, stacked parameters, no 30-layer graph.
+
+Equivalences used (all covered by tests/test_fast_path.py):
+  * both images processed in one call by stacking them on the batch axis
+    (the reference's own training trick, gms.py:91-105): self-attention
+    source = the stack itself; cross-attention source = halves swapped;
+  * heterogeneous layers (full attention vs shared) are padded to one
+    structure; shared layers carry dummy q/k weights and a `shared` flag
+    selects the carried q/k projections instead — identical values to the
+    reference's prob reuse, since softmax(qk^T) is recomputed in-kernel from
+    the very same projections;
+  * per-iteration final projections / Sinkhorn run inside the scan body only
+    when per-iteration outputs are requested (EIMP), else once after the scan.
+
+Constraints: norm_fn='in' (no per-layer batch-norm state; this is the
+published eval config) and inference only.
+"""
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from impx.models.config import MatcherConfig
+from impx.ops.attention import _from_bhnd, _to_bhnd, _interpret
+from impx.ops.mlp import dense_apply
+from impx.ops.norms import instance_norm
+
+
+def _full_layer(layer: dict) -> dict:
+    """Pad a layer's params to the homogeneous scan structure."""
+    if "attn" in layer:
+        a = layer["attn"]
+        q, k, v, merge = a["q"], a["k"], a["v"], a["merge"]
+        shared = jnp.asarray(0.0)
+    else:
+        v, merge = layer["proj"], layer["merge"]
+        q = jax.tree.map(jnp.zeros_like, v)
+        k = jax.tree.map(jnp.zeros_like, v)
+        shared = jnp.asarray(1.0)
+    mlp = layer["mlp"]
+    return {
+        "q": q, "k": k, "v": v, "merge": merge,
+        "mlp0": {"w": mlp[0]["w"], "b": mlp[0]["b"]},
+        "mlp1": {"w": mlp[1]["w"], "b": mlp[1]["b"]},
+        "shared": shared,
+    }
+
+
+def stack_params(params: dict, config: MatcherConfig) -> dict:
+    """Stack the per-layer pytrees: self layers (even indices) and cross layers
+    (odd) each become one pytree with a leading n_layers axis; final
+    projections likewise."""
+    gnn = params["gnn"]
+    self_layers = [_full_layer(gnn[2 * i]) for i in range(config.n_layers)]
+    cross_layers = [_full_layer(gnn[2 * i + 1]) for i in range(config.n_layers)]
+    stack = lambda layers: jax.tree.map(lambda *xs: jnp.stack(xs), *layers)
+    return {
+        "self": stack(self_layers),
+        "cross": stack(cross_layers),
+        "final_w": jnp.stack([p["w"] for p in params["final_proj"]]),
+        "final_b": jnp.stack([p["b"] for p in params["final_proj"]]),
+        "kenc": params["kenc"],
+        "bin_score": params["bin_score"],
+    }
+
+
+def _attn_block(L, x, source, qk_carry, key_mask, query_mask, num_heads, ac_fn,
+                compute_dtype, interpret):
+    """One attentional-propagation layer on the stacked batch. Returns
+    (delta, new_qk_carry)."""
+    from impx.ops.pallas.attention import mha_fused
+
+    q_new = _to_bhnd(dense_apply(L["q"], x), num_heads)
+    k_new = _to_bhnd(dense_apply(L["k"], source), num_heads)
+    v = _to_bhnd(dense_apply(L["v"], source), num_heads)
+    if compute_dtype is not None:
+        q_new, k_new, v = (t.astype(compute_dtype) for t in (q_new, k_new, v))
+
+    shared = L["shared"] > 0.5
+    q_used = jnp.where(shared, qk_carry["q"], q_new)
+    k_used = jnp.where(shared, qk_carry["k"], k_new)
+
+    out = mha_fused(q_used, k_used, v, key_mask, interpret=interpret)
+    message = dense_apply(L["merge"], _from_bhnd(out).astype(x.dtype))
+
+    y = jnp.concatenate([x, message], axis=-1)
+    h = dense_apply(L["mlp0"], y)
+    h = instance_norm(h, mask=query_mask)
+    if ac_fn == "relu":
+        h = jax.nn.relu(h)
+    elif ac_fn == "gelu":
+        h = jax.nn.gelu(h, approximate=False)
+    else:
+        h = jax.nn.leaky_relu(h, negative_slope=0.1)
+    delta = dense_apply(L["mlp1"], h)
+    return delta, {"q": q_used, "k": k_used}
+
+
+def forward_scan(
+    model,
+    stacked: dict,
+    data: dict[str, Any],
+    p: float = 0.2,
+    only_last: bool = True,
+):
+    """DGNNS produce_matches on the scan fast path. data uses the standard
+    matcher feed (descriptors0/1 [B,N,D], norm_keypoints0/1, scores0/1,
+    valid0/1). Returns the same dict structure as GM.produce_matches."""
+    cfg = model.config
+    assert cfg.norm_fn == "in", "scan fast path supports norm_fn='in' only"
+    interpret = _interpret()
+    compute_dtype = model.compute_dtype
+
+    valid0 = data.get("valid0")
+    valid1 = data.get("valid1")
+    b, n = data["descriptors0"].shape[:2]
+    if valid0 is None:
+        valid0 = jnp.ones((b, n), bool)
+    if valid1 is None:
+        valid1 = jnp.ones((b, data["descriptors1"].shape[1]), bool)
+
+    enc0, _ = model.encode_keypoint(
+        {"kenc": stacked["kenc"]}, data["norm_keypoints0"], data["scores0"], valid0)
+    enc1, _ = model.encode_keypoint(
+        {"kenc": stacked["kenc"]}, data["norm_keypoints1"], data["scores1"], valid1)
+    desc = jnp.concatenate([data["descriptors0"] + enc0, data["descriptors1"] + enc1], axis=0)
+    mask = jnp.concatenate([valid0, valid1], axis=0)  # [2B, N]
+    mask_swap = jnp.concatenate([valid1, valid0], axis=0)
+
+    h = cfg.num_heads
+    dh = cfg.descriptor_dim // h
+    zero_qk = {
+        "q": jnp.zeros((2 * b, h, n, dh),
+                       compute_dtype or jnp.float32),
+        "k": jnp.zeros((2 * b, h, n, dh),
+                       compute_dtype or jnp.float32),
+    }
+
+    def swap(x):
+        return jnp.concatenate([x[b:], x[:b]], axis=0)
+
+    def body(carry, per_it):
+        desc, qk_self, qk_cross = carry
+        delta, qk_self = _attn_block(
+            per_it["self"], desc, desc, qk_self, mask, mask,
+            h, cfg.ac_fn, compute_dtype, interpret)
+        desc = desc + delta
+        delta, qk_cross = _attn_block(
+            per_it["cross"], desc, swap(desc), qk_cross, mask_swap, mask,
+            h, cfg.ac_fn, compute_dtype, interpret)
+        desc = desc + delta
+        if only_last:
+            return (desc, qk_self, qk_cross), None
+        return (desc, qk_self, qk_cross), desc
+
+    per_it = {"self": stacked["self"], "cross": stacked["cross"]}
+    (desc, _, _), descs = jax.lax.scan(body, (desc, zero_qk, zero_qk), per_it)
+
+    params_like = {"final_proj": [
+        {"w": stacked["final_w"][-1], "b": stacked["final_b"][-1]}],
+        "bin_score": stacked["bin_score"]}
+
+    if only_last:
+        desc0, desc1 = desc[:b], desc[b:]
+        dist = model.compute_distance(params_like, desc0, desc1, layer_id=-1)
+        score = model.compute_score(params_like, dist, valid0, valid1)
+        idx0, idx1, ms0, ms1 = model.compute_matches(score, p=p, valid0=valid0, valid1=valid1)
+        return {"scores": [score], "indices0": [idx0], "mscores0": [ms0]}
+
+    # per-iteration outputs: project each collected iteration (host loop over
+    # nI small programs is fine here; this path is for diagnostics/parity)
+    out_scores, out_idx0, out_ms0 = [], [], []
+    for li in range(cfg.n_layers):
+        pl = {"final_proj": [
+            {"w": stacked["final_w"][li], "b": stacked["final_b"][li]}],
+            "bin_score": stacked["bin_score"]}
+        d0, d1 = descs[li][:b], descs[li][b:]
+        dist = model.compute_distance(pl, d0, d1, layer_id=-1)
+        score = model.compute_score(pl, dist, valid0, valid1)
+        idx0, _, ms0, _ = model.compute_matches(score, p=p, valid0=valid0, valid1=valid1)
+        out_scores.append(score)
+        out_idx0.append(idx0)
+        out_ms0.append(ms0)
+    return {"scores": out_scores, "indices0": out_idx0, "mscores0": out_ms0}

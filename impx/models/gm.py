@@ -97,7 +97,31 @@ class GM:
 
     def _apply_layer(self, layer_params, x, source, prob=None, key_mask=None, query_mask=None,
                      train=False, axis_name=None):
+        """One attentional-propagation layer. The carried `prob` is the
+        attention-sharing state: the [B,H,N,N] prob tensor on the XLA path, or
+        a {'q','k'} projection dict on the fused Pallas path (identical math,
+        no HBM prob traffic)."""
         cfg = self.config
+        if cfg.attn_impl == "pallas" and not train:
+            from impx.ops.attention import attention_from_qk, multi_head_attention_fused
+            from impx.ops.mlp import mlp_apply
+
+            if "attn" in layer_params:
+                message, state = multi_head_attention_fused(
+                    layer_params["attn"], x, source,
+                    num_heads=cfg.num_heads, key_mask=key_mask,
+                    compute_dtype=self.compute_dtype)
+            else:
+                assert prob is not None, "shared layer requires carried q/k state"
+                message = attention_from_qk(
+                    layer_params, source, prob,
+                    num_heads=cfg.num_heads, key_mask=key_mask,
+                    compute_dtype=self.compute_dtype)
+                state = prob
+            y = jnp.concatenate([x, message], axis=-1)
+            delta, bn = mlp_apply(layer_params["mlp"], y, norm_fn=cfg.norm_fn,
+                                  ac_fn=cfg.ac_fn, mask=query_mask)
+            return delta, state, bn
         delta, prob, bn = layer_apply(
             layer_params, x, source,
             num_heads=cfg.num_heads, ac_fn=cfg.ac_fn, norm_fn=cfg.norm_fn,

@@ -79,6 +79,68 @@ def multi_head_attention(
     return out, prob
 
 
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _to_bhnd(x: jax.Array, num_heads: int) -> jax.Array:
+    """[B,N,D] -> [B,H,N,dh] keeping the head-minor channel order."""
+    return _split_heads(x, num_heads).transpose(0, 3, 1, 2)
+
+
+def _from_bhnd(x: jax.Array) -> jax.Array:
+    """[B,H,N,dh] -> [B,N,D] (head-minor merge: channel c = d*H + h)."""
+    b, h, n, dh = x.shape
+    return x.transpose(0, 2, 3, 1).reshape(b, n, dh * h)
+
+
+def multi_head_attention_fused(
+    params: dict,
+    x: jax.Array,
+    source: jax.Array,
+    *,
+    num_heads: int = 4,
+    key_mask: jax.Array | None = None,
+    compute_dtype=None,
+):
+    """Same math as `multi_head_attention` through the fused Pallas kernel —
+    probabilities never touch HBM. Returns (out, qk_state) where qk_state
+    {'q','k'} ([B,H,N,dh]) replaces the prob tensor for attention sharing:
+    a shared layer recomputes softmax(q k^T) in-kernel from the stored
+    projections (21 us of MXU) instead of reloading a 268 MB prob (327 us of
+    HBM) — identical values."""
+    from impx.ops.pallas.attention import mha_fused
+
+    q = _to_bhnd(dense_apply(params["q"], x), num_heads)
+    k = _to_bhnd(dense_apply(params["k"], source), num_heads)
+    v = _to_bhnd(dense_apply(params["v"], source), num_heads)
+    if compute_dtype is not None:
+        q, k, v = (t.astype(compute_dtype) for t in (q, k, v))
+    out = mha_fused(q, k, v, key_mask, interpret=_interpret())
+    out = dense_apply(params["merge"], _from_bhnd(out).astype(x.dtype))
+    return out, {"q": q, "k": k}
+
+
+def attention_from_qk(
+    params: dict,
+    source: jax.Array,
+    qk_state: dict,
+    *,
+    num_heads: int = 4,
+    key_mask: jax.Array | None = None,
+    compute_dtype=None,
+):
+    """Shared-attention value path on the fused kernel: reuse the stored q/k
+    projections, project only V (reference layers.py:211-216 semantics)."""
+    from impx.ops.pallas.attention import mha_fused
+
+    v = _to_bhnd(dense_apply(params["proj"], source), num_heads)
+    if compute_dtype is not None:
+        v = v.astype(compute_dtype)
+    out = mha_fused(qk_state["q"], qk_state["k"], v, key_mask, interpret=_interpret())
+    return dense_apply(params["merge"], _from_bhnd(out).astype(source.dtype))
+
+
 def attention_from_prob(
     params: dict,
     source: jax.Array,

@@ -1,0 +1,148 @@
+"""Fused multi-head attention kernel (Pallas/TPU).
+
+Why: the matcher's profile is HBM-bound on attention probabilities — the XLA
+path materializes [B,H,N,N] fp32 prob tensors (268 MB at B=4,H=4,N=2048) for
+every one of the 60 layer applications, ~48 GB of HBM traffic per batch. This
+kernel keeps scores/probs in VMEM: for each (batch, head, query-block) it
+computes scores against the *entire* key set (K/V fully VMEM-resident — at
+N<=2048, dh=64 a full K block is 512 KB), softmaxes in fp32 and immediately
+contracts with V. No flash-style online softmax is needed at these sizes.
+
+Masking: key validity as a [B, N] float mask (1 valid / 0 pad), applied as a
+-inf fill before softmax — identical to the XLA path (impx/ops/attention.py).
+
+Used for inference paths (produce_matches / iterative). Training keeps the
+XLA path (this kernel has no custom VJP yet).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG = -1e30
+
+
+def _attn_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale: float):
+    q = q_ref[0, 0]  # [bq, dh]
+    k = k_ref[0, 0]  # [Nk, dh]
+    v = v_ref[0, 0]  # [Nk, dh]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale  # [bq, Nk]
+    mask = mask_ref[0, 0]  # [Nk]
+    s = jnp.where(mask[None, :] > 0, s, NEG)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s - m)
+    p = e / jnp.sum(e, axis=-1, keepdims=True)
+    o = jax.lax.dot_general(
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    o_ref[0, 0] = o.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block_q", "interpret"))
+def mha_fused(q, k, v, key_mask=None, block_q: int = 256, interpret: bool = False):
+    """q [B,H,Nq,dh], k/v [B,H,Nk,dh], key_mask [B,Nk] (bool/float) -> [B,H,Nq,dh].
+
+    fp32 softmax; matmuls accumulate fp32 with inputs in q/k/v's dtype
+    (pass bf16 inputs for MXU-native throughput).
+    """
+    b, h, nq, dh = q.shape
+    nk = k.shape[2]
+    block_q = min(block_q, nq)
+    assert nq % block_q == 0, (nq, block_q)
+    if key_mask is None:
+        key_mask = jnp.ones((b, 1, nk), jnp.float32)
+    else:
+        key_mask = key_mask.astype(jnp.float32).reshape(b, 1, nk)
+    scale = 1.0 / (dh ** 0.5)
+
+    grid = (b, h, nq // block_q)
+    return pl.pallas_call(
+        functools.partial(_attn_kernel, scale=scale),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, block_q, dh), lambda bi, hi, qi: (bi, hi, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, nk, dh), lambda bi, hi, qi: (bi, hi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, nk, dh), lambda bi, hi, qi: (bi, hi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, nk), lambda bi, hi, qi: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, block_q, dh), lambda bi, hi, qi: (bi, hi, qi, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, h, nq, dh), q.dtype),
+        interpret=interpret,
+    )(q, k, v, key_mask)
+
+
+def _mass_kernel(q_ref, k_ref, mask_ref, qmask_ref, mass_ref, *, scale: float):
+    """Accumulate per-key attention mass: sum over heads and valid queries of
+    softmax(q k^T) — the EIMP pooling statistic (reference adgm.py:424-432)."""
+    qi = pl.program_id(2)
+    hi = pl.program_id(1)
+
+    q = q_ref[0, 0]
+    k = k_ref[0, 0]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+    mask = mask_ref[0, 0]
+    s = jnp.where(mask[None, :] > 0, s, NEG)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s - m)
+    p = e / jnp.sum(e, axis=-1, keepdims=True)
+    qmask = qmask_ref[0, 0, pl.ds(qi * q.shape[0], q.shape[0])]
+    col = jnp.sum(p * qmask[:, None], axis=0)  # [Nk]
+
+    @pl.when((hi == 0) & (qi == 0))
+    def _():
+        mass_ref[0, 0] = jnp.zeros_like(mass_ref[0, 0])
+
+    mass_ref[0, 0] += col
+
+
+@functools.partial(jax.jit, static_argnames=("block_q", "interpret"))
+def attention_key_mass(q, k, key_mask=None, query_mask=None, block_q: int = 256,
+                       interpret: bool = False):
+    """Per-key attention mass [B, Nk]: sum over heads + valid queries of the
+    softmax probabilities, WITHOUT materializing them in HBM."""
+    b, h, nq, dh = q.shape
+    nk = k.shape[2]
+    block_q = min(block_q, nq)
+    assert nq % block_q == 0
+    if key_mask is None:
+        key_mask = jnp.ones((b, 1, nk), jnp.float32)
+    else:
+        key_mask = key_mask.astype(jnp.float32).reshape(b, 1, nk)
+    if query_mask is None:
+        query_mask = jnp.ones((b, 1, nq), jnp.float32)
+    else:
+        query_mask = query_mask.astype(jnp.float32).reshape(b, 1, nq)
+    scale = 1.0 / (dh ** 0.5)
+
+    grid = (b, h, nq // block_q)
+    mass = pl.pallas_call(
+        functools.partial(_mass_kernel, scale=scale),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, block_q, dh), lambda bi, hi, qi: (bi, hi, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, nk, dh), lambda bi, hi, qi: (bi, hi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, nk), lambda bi, hi, qi: (bi, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, nq), lambda bi, hi, qi: (bi, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, nk), lambda bi, hi, qi: (bi, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, 1, nk), jnp.float32),
+        interpret=interpret,
+    )(q, k, key_mask, query_mask)
+    return mass[:, 0, :]
