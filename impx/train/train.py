@@ -55,6 +55,9 @@ parser.add_argument("--synthetic", action="store_true",
 parser.add_argument("--synthetic_pairs", type=int, default=512)
 parser.add_argument("--compute_dtype", type=str, default="float32",
                     choices=["float32", "bfloat16"])
+parser.add_argument("--multihost", action="store_true",
+                    help="initialize jax.distributed (multi-host mesh over DCN; "
+                         "the data mesh then spans all hosts' chips)")
 
 
 def build_model(args):
@@ -95,6 +98,10 @@ def main(argv=None):
     import jax
 
     args = parser.parse_args(argv)
+    if getattr(args, "multihost", False):
+        # coordinator/process env comes from the launcher (TPU pods set it);
+        # replaces the reference's hardcoded localhost NCCL init (train.py:49-53)
+        jax.distributed.initialize()
     if args.config:
         # JSON overrides defaults, explicit CLI flags override JSON
         # (reference train.py:95-101 merge order)
