@@ -27,9 +27,14 @@ def main():
 
     from impx.models import MatcherConfig, DGNNS
 
+    import dataclasses
+
     n_kpts = 2048
     batch = 4  # pairs per device step
-    cfg = MatcherConfig.eval_config("spp", n_layers=15)
+    cfg = dataclasses.replace(
+        MatcherConfig.eval_config("spp", n_layers=15),
+        attn_impl="pallas",  # fused attention via the scan fast path
+    )
     model = DGNNS(cfg)
     params = model.init(jax.random.PRNGKey(0))
 
@@ -62,9 +67,10 @@ def main():
 
     warm = make_stack(1)
     float(run_stream(params, warm))  # compile + warm (value readback = sync)
+    float(run_stream(params, make_stack(9)))  # second warm (relay warm-up)
 
     best = None
-    for seed in (2, 3, 4):
+    for seed in (2, 3, 4, 5, 6):
         stack = make_stack(seed)
         t0 = time.perf_counter()
         float(run_stream(params, stack))

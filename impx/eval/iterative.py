@@ -52,9 +52,10 @@ class IterativeMatcher:
     def __init__(self, model, params, *, norm_thresh: float, match_ratio: float = 0.1,
                  min_kpts: int = 25, pose_stop_deg: float = 1.5,
                  num_hypotheses: int = 1024, with_uncertainty: bool = False,
-                 mscore_base: float = 0.2):
+                 mscore_base: float = 0.2, valid_its: tuple = VALID_ITS):
         self.model = model
         self.params = params
+        self.valid_its = tuple(valid_its)
         self.norm_thresh = norm_thresh
         self.match_ratio = match_ratio
         self.min_kpts = min_kpts
@@ -178,7 +179,7 @@ class IterativeMatcher:
 
         for ni in range(n_layers):
             desc0, desc1, probs = self._steps[ni](desc0, desc1, probs, keep0, keep1)
-            if ni not in VALID_ITS:
+            if ni not in self.valid_its:
                 continue
             key, sub = jax.random.split(key)
             out = self._check(jnp.asarray(ni), desc0, desc1, keep0, keep1,

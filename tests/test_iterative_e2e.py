@@ -1,0 +1,121 @@
+"""Crown end-to-end test: train a small matcher on synthetic scenes, then run
+the full iterative match<->pose loop — the trained model must recover the true
+relative pose and early-stop once the pose converges."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from impx.models import MatcherConfig, DGNNS
+from impx.data.synthetic import synthesize_pair
+from impx.data.megadepth import SyntheticMegadepth
+from impx.train.step import TrainHyperParams, make_train_step, make_optimizer
+from impx.eval.iterative import IterativeMatcher
+from impx import geometry as G
+
+N_KPTS = 128
+DIM = 32
+
+
+@pytest.fixture(scope="module")
+def trained_model():
+    cfg = MatcherConfig(descriptor_dim=DIM, keypoint_encoder=(16, 32), n_layers=6,
+                        sinkhorn_iterations=10, norm_fn="in", n_min_tokens=16)
+    model = DGNNS(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    hp = TrainHyperParams(lr=5e-4, decay_iter=10_000)
+    step = make_train_step(model, hp, donate=False)
+    opt_state = make_optimizer(hp).init(params)
+
+    # rotate fresh batches so the matcher generalizes instead of memorizing
+    ds = SyntheticMegadepth(num_pairs=96, nfeatures=N_KPTS, desc_dim=DIM, seed=0)
+    batches = []
+    for b in range(6):
+        samples = [ds[b * 16 + i] for i in range(16)]
+        batches.append({k: jnp.asarray(np.stack([s[k] for s in samples]).astype(np.float32))
+                        for k in samples[0] if isinstance(samples[0][k], np.ndarray)})
+    for it in range(300):
+        params, opt_state, metrics = step(params, opt_state, jnp.asarray(it),
+                                          batches[it % len(batches)])
+    assert float(metrics["acc_corr"]) > 20, float(metrics["acc_corr"])
+    return model, params
+
+
+def _pad(a, n):
+    return np.pad(a, [(0, n - a.shape[0])] + [(0, 0)] * (a.ndim - 1))
+
+
+def _pair_feed(rs):
+    pair = synthesize_pair(rs, n_inliers=80, n_outliers0=48, n_outliers1=48,
+                           desc_dim=DIM, image_size=(480, 640))
+    n0 = min(len(pair["kpt1"]), N_KPTS)
+    n1 = min(len(pair["kpt2"]), N_KPTS)
+    k0 = _pad(pair["kpt1"][:n0], N_KPTS)
+    k1 = _pad(pair["kpt2"][:n1], N_KPTS)
+    valid0 = np.arange(N_KPTS) < n0
+    valid1 = np.arange(N_KPTS) < n1
+    h, w = pair["img_size1"]
+    size = np.array([w, h], np.float32)
+    norm0 = (k0[:, :2] - size / 2 - 0.5) / (size.max() * 0.7)
+    norm1 = (k1[:, :2] - size / 2 - 0.5) / (size.max() * 0.7)
+    K = pair["K1"]
+    x0n = (k0[:, :2] - K[:2, 2]) / np.array([K[0, 0], K[1, 1]])
+    x1n = (k1[:, :2] - K[:2, 2]) / np.array([K[0, 0], K[1, 1]])
+    feed = {
+        "descriptors0": jnp.asarray(_pad(pair["desc1"][:n0], N_KPTS))[None],
+        "descriptors1": jnp.asarray(_pad(pair["desc2"][:n1], N_KPTS))[None],
+        "norm_keypoints0": jnp.asarray(norm0)[None],
+        "norm_keypoints1": jnp.asarray(norm1)[None],
+        "scores0": jnp.asarray(k0[:, 2])[None],
+        "scores1": jnp.asarray(k1[:, 2])[None],
+        "valid0": jnp.asarray(valid0)[None],
+        "valid1": jnp.asarray(valid1)[None],
+        "x0n": jnp.asarray(x0n),
+        "x1n": jnp.asarray(x1n),
+    }
+    return feed, pair
+
+
+def test_iterative_recovers_pose_and_early_stops(trained_model):
+    model, params = trained_model
+    matcher = IterativeMatcher(
+        model, params, norm_thresh=2e-3, match_ratio=0.1, min_kpts=15,
+        pose_stop_deg=2.5, num_hypotheses=512, valid_its=(1, 2, 3, 4, 5))
+
+    rs = np.random.RandomState(100)
+    n_pairs = 6
+    n_converged = 0
+    errs = []
+    stops = []
+    key = jax.random.PRNGKey(0)
+    for i in range(n_pairs):
+        feed, pair = _pair_feed(rs)
+        key, sub = jax.random.split(key)
+        out = matcher.run(feed, sub)
+        if bool(out["converged"]):
+            n_converged += 1
+            stops.append(int(out["stopped_at"]))
+            err_R = float(G.angle_error_mat(jnp.asarray(pair["R"]), jnp.asarray(out["R"])))
+            err_t = float(G.angle_error_vec(jnp.asarray(pair["T"]), jnp.asarray(out["t"])))
+            err_t = min(err_t, 180 - err_t)
+            errs.append(max(err_R, err_t))
+    assert n_converged >= 4, f"only {n_converged}/{n_pairs} pairs converged"
+    assert np.median(errs) < 5.0, errs
+    assert min(stops) < model.config.n_layers, stops  # early exit actually fired
+
+
+def test_produce_matches_on_trained_model(trained_model):
+    """Non-iterative path: the trained matcher's precision against GT E."""
+    model, params = trained_model
+    rs = np.random.RandomState(200)
+    feed, pair = _pair_feed(rs)
+    out = model.produce_matches(params, feed, p=0.2, only_last=True)
+    idx0 = np.asarray(out["indices0"][-1][0])
+    valid = idx0 > -1
+    assert valid.sum() >= 20
+    x0n = np.asarray(feed["x0n"])[valid]
+    x1n = np.asarray(feed["x1n"])[np.clip(idx0[valid], 0, N_KPTS - 1)]
+    inl = np.asarray(G.compute_epi_inlier(
+        jnp.asarray(x0n), jnp.asarray(x1n), jnp.asarray(pair["e"]), 0.01))
+    assert inl.mean() > 0.7, inl.mean()
