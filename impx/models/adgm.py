@@ -80,6 +80,12 @@ class AdaGMN(DGNNS):
             norm11 = _key_attention_mass(prob11, keep1)  # keys: image1
             norm10 = _key_attention_mass(prob10, keep0)  # keys: image1
 
+        return self._pool_from_norm(pred_score, norm00, norm01, norm11, norm10,
+                                    keep0, keep1, th, n_min_tokens)
+
+    def _pool_from_norm(self, pred_score, norm00, norm01, norm11, norm10,
+                        keep0, keep1, th, n_min_tokens):
+        """Core pooling rule given the normalized key attention masses."""
         inner = pred_score[:, :-1, :-1]
         pids0 = (jnp.sum(inner, axis=2) >= th) & keep0
         pids1 = (jnp.sum(inner, axis=1) >= th) & keep1
@@ -197,6 +203,13 @@ class AdaGMN(DGNNS):
     def produce_matches(self, params, data, p: float = 0.2, mscore_th: float = 0.1,
                         uncertainty_ratio: float = 1.0, only_last: bool = False, **_):
         """Reference adgm.py:327-526 (eval path)."""
+        if self.config.attn_impl == "pallas" and self.config.norm_fn == "in":
+            from impx.models.fast import forward_scan_eimp, stack_params
+
+            stacked = stack_params(params, self.config)
+            return forward_scan_eimp(self, stacked, data, p=p, mscore_th=mscore_th,
+                                     uncertainty_ratio=uncertainty_ratio,
+                                     only_last=only_last)
         all_scores, all_idx0, all_ms0, _, keeps = self._iterate(
             params, data, p, mscore_th, uncertainty_ratio)
         if only_last:

@@ -191,3 +191,118 @@ def forward_scan(
         out_idx0.append(idx0)
         out_ms0.append(ms0)
     return {"scores": out_scores, "indices0": out_idx0, "mscores0": out_ms0}
+
+
+def forward_scan_eimp(
+    model,
+    stacked: dict,
+    data: dict[str, Any],
+    p: float = 0.2,
+    mscore_th: float = 0.1,
+    uncertainty_ratio: float = 1.0,
+    only_last: bool = False,
+):
+    """AdaGMN produce_matches on the scan fast path: per-iteration Sinkhorn +
+    matches inside the body, adaptive pooling on updating iterations via the
+    attention column-mass kernel (probabilities never materialize).
+
+    Mass bookkeeping on the stacked batch: the self qk-state gives key masses
+    [m00; m11] for rows [0:B; B:2B]; the cross state (source swapped) gives
+    [m10; m01] — exactly the four statistics of reference adgm.py:424-432.
+    """
+    from impx.ops.pallas.attention import attention_key_mass
+
+    cfg = model.config
+    assert cfg.norm_fn == "in"
+    interpret = _interpret()
+    compute_dtype = model.compute_dtype
+
+    valid0 = data.get("valid0")
+    valid1 = data.get("valid1")
+    b, n = data["descriptors0"].shape[:2]
+    if valid0 is None:
+        valid0 = jnp.ones((b, n), bool)
+    if valid1 is None:
+        valid1 = jnp.ones((b, data["descriptors1"].shape[1]), bool)
+    assert data["descriptors1"].shape[1] == n, "EIMP scan path expects equal buckets"
+
+    enc0, _ = model.encode_keypoint(
+        {"kenc": stacked["kenc"]}, data["norm_keypoints0"], data["scores0"], valid0)
+    enc1, _ = model.encode_keypoint(
+        {"kenc": stacked["kenc"]}, data["norm_keypoints1"], data["scores1"], valid1)
+    desc = jnp.concatenate([data["descriptors0"] + enc0, data["descriptors1"] + enc1], axis=0)
+
+    h = cfg.num_heads
+    dh = cfg.descriptor_dim // h
+    zero_qk = {
+        "q": jnp.zeros((2 * b, h, n, dh), compute_dtype or jnp.float32),
+        "k": jnp.zeros((2 * b, h, n, dh), compute_dtype or jnp.float32),
+    }
+
+    sharing = cfg.sharing_layers(True)
+    do_pool = jnp.asarray([
+        1.0 if (sharing[2 * ni] and ni >= cfg.first_it_to_update) else 0.0
+        for ni in range(cfg.n_layers)], jnp.float32)
+
+    def swap(x):
+        return jnp.concatenate([x[b:], x[:b]], axis=0)
+
+    def body(carry, per_it):
+        desc, qk_self, qk_cross, keep0, keep1 = carry
+        keep = jnp.concatenate([keep0, keep1], axis=0)
+        keep_swap = jnp.concatenate([keep1, keep0], axis=0)
+
+        delta, qk_self = _attn_block(
+            per_it["self"], desc, desc, qk_self, keep, keep,
+            h, cfg.ac_fn, compute_dtype, interpret)
+        desc = desc + delta
+        delta, qk_cross = _attn_block(
+            per_it["cross"], desc, swap(desc), qk_cross, keep_swap, keep,
+            h, cfg.ac_fn, compute_dtype, interpret)
+        desc = desc + delta
+
+        pl = {"final_proj": [{"w": per_it["final_w"], "b": per_it["final_b"]}],
+              "bin_score": stacked["bin_score"]}
+        d0, d1 = desc[:b], desc[b:]
+        dist = model.compute_distance(pl, d0, d1, layer_id=-1)
+        score = model.compute_score(pl, dist, keep0, keep1)
+        idx0, _, ms0, _ = model.compute_matches(score, p=p, valid0=keep0, valid1=keep1)
+
+        def pool(operands):
+            score, qk_self, qk_cross, keep0, keep1 = operands
+            keep = jnp.concatenate([keep0, keep1], axis=0)
+            keep_swap = jnp.concatenate([keep1, keep0], axis=0)
+            m_self = attention_key_mass(qk_self["q"], qk_self["k"],
+                                        keep, keep, interpret=interpret)
+            m_cross = attention_key_mass(qk_cross["q"], qk_cross["k"],
+                                         keep_swap, keep, interpret=interpret)
+            norm = lambda m: m / (jnp.sum(m, axis=1, keepdims=True) + 1e-15)
+            n00, n11 = norm(m_self[:b]), norm(m_self[b:])
+            n10, n01 = norm(m_cross[:b]), norm(m_cross[b:])
+            return model._pool_from_norm(
+                score, n00, n01, n11, n10, keep0, keep1,
+                mscore_th * uncertainty_ratio, cfg.n_min_tokens)
+
+        keep0, keep1 = jax.lax.cond(
+            per_it["do_pool"] > 0.5, pool, lambda op: (op[3], op[4]),
+            (score, qk_self, qk_cross, keep0, keep1))
+
+        return (desc, qk_self, qk_cross, keep0, keep1), (idx0, ms0, score)
+
+    per_it = {
+        "self": stacked["self"], "cross": stacked["cross"],
+        "final_w": stacked["final_w"], "final_b": stacked["final_b"],
+        "do_pool": do_pool,
+    }
+    carry0 = (desc, zero_qk, zero_qk, valid0, valid1)
+    (desc, _, _, keep0, keep1), (all_idx0, all_ms0, all_scores) = jax.lax.scan(
+        body, carry0, per_it)
+
+    if only_last:
+        return {"scores": [all_scores[-1]], "indices0": [all_idx0[-1]],
+                "mscores0": [all_ms0[-1]], "keep0": keep0, "keep1": keep1}
+    nI = cfg.n_layers
+    return {"scores": [all_scores[-1]],
+            "indices0": [all_idx0[i] for i in range(nI)],
+            "mscores0": [all_ms0[i] for i in range(nI)],
+            "keep0": keep0, "keep1": keep1}
