@@ -73,35 +73,57 @@ def stack_params(params: dict, config: MatcherConfig) -> dict:
     }
 
 
+def _proj_heads(p, x, num_heads):
+    """Dense projection straight into [B,H,N,dh] (head-minor channel order
+    c = d*H + h, matching impx/ops/attention._split_heads) — one einsum, no
+    transpose passes over HBM."""
+    cin, cout = p["w"].shape
+    dh = cout // num_heads
+    w = p["w"].reshape(cin, dh, num_heads)
+    b = p["b"].reshape(dh, num_heads)
+    y = jnp.einsum("bnc,cdh->bhnd", x, w.astype(x.dtype))
+    return y + b.T[None, :, None, :].astype(y.dtype)
+
+
+def _merge_heads(p, x):
+    """[B,H,N,dh] -> dense merge -> [B,N,D], again transpose-free."""
+    cin, cout = p["w"].shape
+    bsz, h, n, dh = x.shape
+    w = p["w"].reshape(dh, h, cout)  # input channel c = d*H + h
+    return jnp.einsum("bhnd,dho->bno", x, w.astype(x.dtype)) + p["b"].astype(x.dtype)
+
+
 def _attn_block(L, x, source, qk_carry, key_mask, query_mask, num_heads, ac_fn,
                 compute_dtype, interpret):
     """One attentional-propagation layer on the stacked batch. Returns
-    (delta, new_qk_carry)."""
+    (delta, new_qk_carry). The activation stream runs in `compute_dtype`
+    (bf16 halves HBM traffic and keeps all matmuls MXU-native); instance-norm
+    statistics stay fp32."""
     from impx.ops.pallas.attention import mha_fused
 
-    q_new = _to_bhnd(dense_apply(L["q"], x), num_heads)
-    k_new = _to_bhnd(dense_apply(L["k"], source), num_heads)
-    v = _to_bhnd(dense_apply(L["v"], source), num_heads)
-    if compute_dtype is not None:
-        q_new, k_new, v = (t.astype(compute_dtype) for t in (q_new, k_new, v))
+    q_new = _proj_heads(L["q"], x, num_heads)
+    k_new = _proj_heads(L["k"], source, num_heads)
+    v = _proj_heads(L["v"], source, num_heads)
 
     shared = L["shared"] > 0.5
     q_used = jnp.where(shared, qk_carry["q"], q_new)
     k_used = jnp.where(shared, qk_carry["k"], k_new)
 
     out = mha_fused(q_used, k_used, v, key_mask, interpret=interpret)
-    message = dense_apply(L["merge"], _from_bhnd(out).astype(x.dtype))
+    message = _merge_heads(L["merge"], out.astype(x.dtype))
 
     y = jnp.concatenate([x, message], axis=-1)
-    h = dense_apply(L["mlp0"], y)
-    h = instance_norm(h, mask=query_mask)
+    h = jnp.einsum("bnc,cd->bnd", y, L["mlp0"]["w"].astype(y.dtype)) + \
+        L["mlp0"]["b"].astype(y.dtype)
+    h = instance_norm(h.astype(jnp.float32), mask=query_mask).astype(y.dtype)
     if ac_fn == "relu":
         h = jax.nn.relu(h)
     elif ac_fn == "gelu":
         h = jax.nn.gelu(h, approximate=False)
     else:
         h = jax.nn.leaky_relu(h, negative_slope=0.1)
-    delta = dense_apply(L["mlp1"], h)
+    delta = jnp.einsum("bnc,cd->bnd", h, L["mlp1"]["w"].astype(h.dtype)) + \
+        L["mlp1"]["b"].astype(h.dtype)
     return delta, {"q": q_used, "k": k_used}
 
 
@@ -133,6 +155,8 @@ def forward_scan(
     enc1, _ = model.encode_keypoint(
         {"kenc": stacked["kenc"]}, data["norm_keypoints1"], data["scores1"], valid1)
     desc = jnp.concatenate([data["descriptors0"] + enc0, data["descriptors1"] + enc1], axis=0)
+    if compute_dtype is not None:
+        desc = desc.astype(compute_dtype)
     mask = jnp.concatenate([valid0, valid1], axis=0)  # [2B, N]
     mask_swap = jnp.concatenate([valid1, valid0], axis=0)
 
@@ -170,7 +194,7 @@ def forward_scan(
         "bin_score": stacked["bin_score"]}
 
     if only_last:
-        desc0, desc1 = desc[:b], desc[b:]
+        desc0, desc1 = desc[:b].astype(jnp.float32), desc[b:].astype(jnp.float32)
         dist = model.compute_distance(params_like, desc0, desc1, layer_id=-1)
         score = model.compute_score(params_like, dist, valid0, valid1)
         idx0, idx1, ms0, ms1 = model.compute_matches(score, p=p, valid0=valid0, valid1=valid1)
@@ -183,7 +207,8 @@ def forward_scan(
         pl = {"final_proj": [
             {"w": stacked["final_w"][li], "b": stacked["final_b"][li]}],
             "bin_score": stacked["bin_score"]}
-        d0, d1 = descs[li][:b], descs[li][b:]
+        d0 = descs[li][:b].astype(jnp.float32)
+        d1 = descs[li][b:].astype(jnp.float32)
         dist = model.compute_distance(pl, d0, d1, layer_id=-1)
         score = model.compute_score(pl, dist, valid0, valid1)
         idx0, _, ms0, _ = model.compute_matches(score, p=p, valid0=valid0, valid1=valid1)
@@ -231,6 +256,8 @@ def forward_scan_eimp(
     enc1, _ = model.encode_keypoint(
         {"kenc": stacked["kenc"]}, data["norm_keypoints1"], data["scores1"], valid1)
     desc = jnp.concatenate([data["descriptors0"] + enc0, data["descriptors1"] + enc1], axis=0)
+    if compute_dtype is not None:
+        desc = desc.astype(compute_dtype)
 
     h = cfg.num_heads
     dh = cfg.descriptor_dim // h
@@ -263,7 +290,7 @@ def forward_scan_eimp(
 
         pl = {"final_proj": [{"w": per_it["final_w"], "b": per_it["final_b"]}],
               "bin_score": stacked["bin_score"]}
-        d0, d1 = desc[:b], desc[b:]
+        d0, d1 = desc[:b].astype(jnp.float32), desc[b:].astype(jnp.float32)
         dist = model.compute_distance(pl, d0, d1, layer_id=-1)
         score = model.compute_score(pl, dist, keep0, keep1)
         idx0, _, ms0, _ = model.compute_matches(score, p=p, valid0=keep0, valid1=keep1)

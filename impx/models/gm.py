@@ -83,7 +83,8 @@ class GM:
         """Sinkhorn or dual-softmax with learned dustbin (reference gm.py:297-303)."""
         if self.config.with_sinkhorn:
             return sink_algorithm(
-                dist, params["bin_score"], self.config.sinkhorn_iterations, valid0, valid1
+                dist, params["bin_score"], self.config.sinkhorn_iterations,
+                valid0, valid1, plan_dtype=self.compute_dtype,
             )
         return dual_softmax(dist, params["bin_score"], valid0, valid1)
 

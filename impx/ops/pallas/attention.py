@@ -37,12 +37,15 @@ def _attn_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale: float):
     s = jnp.where(mask[None, :] > 0, s, NEG)
     m = jnp.max(s, axis=-1, keepdims=True)
     e = jnp.exp(s - m)
-    p = e / jnp.sum(e, axis=-1, keepdims=True)
+    # normalize AFTER the PV contraction: divides [bq, dh] instead of
+    # [bq, Nk] — one fewer full-width VPU pass (softmax is the kernel's
+    # bottleneck at these shapes)
+    l = jnp.sum(e, axis=-1, keepdims=True)
     o = jax.lax.dot_general(
-        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        e.astype(v.dtype), v, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    o_ref[0, 0] = o.astype(o_ref.dtype)
+    o_ref[0, 0] = (o / l).astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("block_q", "interpret"))

@@ -47,12 +47,17 @@ def sink_algorithm(
     iterations: int,
     valid0: jax.Array | None = None,
     valid1: jax.Array | None = None,
+    plan_dtype=None,
 ) -> jax.Array:
     """Non-log Sinkhorn with dustbin, masked. Returns [B, N+1, M+1] transport plan.
 
     Marginals: each valid keypoint 1, dustbin = (#valid on the other side) + 1
     (reference layers.py:41-44 uses the padded size). Padded entries get zero
     mass exactly.
+
+    plan_dtype: storage dtype of the (fixed) initial plan inside the u/v
+    iteration — the loop is HBM-bound on re-reading it, so bf16 halves the
+    Sinkhorn cost; u/v stay fp32 and the returned plan is fp32.
     """
     b, n, m = dist.shape
     f0, f1, v0p, v1p = _padded_masks(b, n, m, valid0, valid1, dist.dtype)
@@ -68,11 +73,14 @@ def sink_algorithm(
     c = jnp.concatenate([f1, n1 + 1.0], axis=1)  # [B, M+1]
 
     p = jax.nn.softmax(M, axis=-1)
+    p_loop = p.astype(plan_dtype) if plan_dtype is not None else p
 
     def body(_, uv):
         u, v = uv
-        u = r / (jnp.einsum("bnm,bm->bn", p, v) + EPS)
-        v = c / (jnp.einsum("bnm,bn->bm", p, u) + EPS)
+        u = r / (jnp.einsum("bnm,bm->bn", p_loop, v.astype(p_loop.dtype),
+                            preferred_element_type=jnp.float32) + EPS)
+        v = c / (jnp.einsum("bnm,bn->bm", p_loop, u.astype(p_loop.dtype),
+                            preferred_element_type=jnp.float32) + EPS)
         return u, v
 
     u0 = jnp.ones_like(r)
