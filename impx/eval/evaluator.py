@@ -111,9 +111,19 @@ class FMBenchEval:
         pre_bf = _fm_inlier_rate(corr1, corr2, size1, size2, F,
                                  self.config["inlier_th"]).mean()
         if len(corr1) >= 8:
-            F_hat, mask_F = cv2.findFundamentalMat(
-                corr1, corr2, method=cv2.USAC_MAGSAC,
-                ransacReprojThreshold=1, confidence=1 - 1e-5)
+            if self.config.get("f_backend") == "jax":
+                from impx.ransac.fundamental import estimate_fundamental_ransac
+
+                out = estimate_fundamental_ransac(
+                    jax.random.PRNGKey(len(self.pre)), jnp.asarray(corr1),
+                    jnp.asarray(corr2), jnp.ones(len(corr1), bool),
+                    threshold_px=1.0)
+                F_hat = np.asarray(out["F"])
+                mask_F = np.asarray(out["inliers"])
+            else:
+                F_hat, mask_F = cv2.findFundamentalMat(
+                    corr1, corr2, method=cv2.USAC_MAGSAC,
+                    ransacReprojThreshold=1, confidence=1 - 1e-5)
         else:
             F_hat = None
         if F_hat is None:

@@ -57,6 +57,11 @@ def hard_negative_loss(pred_scores, gt, neg_margin: float = 0.1):
     return (loss_neg_row + loss_neg_col) / 2.0
 
 
+def epipolar_loss(pred_scores, epipolar_error):
+    """Score-weighted epipolar error (reference loss.py:125-126 hook)."""
+    return jnp.mean(pred_scores * epipolar_error)
+
+
 def matching_accuracy(indices0, gt_matching_mask, n_iters: int = 1):
     """Correct/incorrect match counters (reference gm.py:207-214, loss.py:47-53).
     indices0: [B, N] predicted matches (-1 unmatched); gt mask [B, N+1, M+1]."""
