@@ -45,7 +45,7 @@ def main():
     # honest timing is: ONE jitted program that scans over K *distinct*
     # batches and returns a scalar, timed on a dataset different from the
     # warm-up run, with a value readback inside the timed region.
-    K = 8
+    K = 16
 
     def make_stack(seed):
         r = np.random.RandomState(seed)

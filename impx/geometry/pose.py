@@ -93,12 +93,13 @@ def pose_auc(errors, thresholds):
     recall = (np.arange(len(errors)) + 1) / len(errors)
     errors = np.r_[0.0, errors]
     recall = np.r_[0.0, recall]
+    trapz = getattr(np, "trapezoid", np.trapz)
     aucs = []
     for t in thresholds:
         last_index = np.searchsorted(errors, t)
         r = np.r_[recall[:last_index], recall[last_index - 1]]
         e = np.r_[errors[:last_index], t]
-        aucs.append(np.trapz(r, x=e) / t)
+        aucs.append(trapz(r, x=e) / t)
     return aucs
 
 

@@ -1,0 +1,58 @@
+"""The eval CLI path end-to-end on synthetic data (tiny, CPU)."""
+import numpy as np
+import pytest
+
+
+def test_eval_imp_driver(tmp_path):
+    from impx.data.synthetic import write_eval_hdf5
+    from impx.data.reader import StandardReader
+    from impx.eval.eval_imp import build_model, evaluate
+    import jax
+
+    ds = write_eval_hdf5(str(tmp_path / "synth.hdf5"), num_pairs=2, seed=0,
+                         n_inliers=48, n_outliers0=48, n_outliers1=48, desc_dim=64)
+    reader = StandardReader({"rawdata_dir": str(tmp_path), "dataset_dir": ds,
+                             "num_kpt": 96})
+
+    model = build_model("IMP", "spp", n_layers=3)
+    # shrink to a CPU-friendly model
+    import dataclasses
+
+    model.config = dataclasses.replace(
+        model.config, descriptor_dim=64, keypoint_encoder=(16, 32))
+    params = model.init(jax.random.PRNGKey(0))
+
+    class Args:
+        use_iterative = False
+        use_uncertainty = False
+        pose_backend = "jax"
+        max_pairs = 2
+        bucket = 128
+
+    results = evaluate(model, params, reader, error_th=1.0,
+                       eval_config={"rescale": 640, "inlier_th": 0.005}, args=Args())
+    assert set(results) >= {"auc", "precision", "matching_score",
+                            "pairs_per_sec_device"}
+    assert np.isfinite(results["precision"])
+    assert results["mean_stop_iteration"] == 3.0
+
+
+def test_evaluate_full_driver(tmp_path):
+    from impx.data.synthetic import write_eval_hdf5
+    from impx.eval.eval_full import evaluate_full
+    from impx.eval.eval_imp import build_model
+    import dataclasses
+    import jax
+
+    ds = write_eval_hdf5(str(tmp_path / "synth.hdf5"), num_pairs=2, seed=1,
+                         n_inliers=48, n_outliers0=48, n_outliers1=48, desc_dim=64)
+    model = build_model("IMP", "spp", n_layers=3)
+    model.config = dataclasses.replace(
+        model.config, descriptor_dim=64, keypoint_encoder=(16, 32))
+    params = model.init(jax.random.PRNGKey(0))
+
+    opt = {"reader": {"rawdata_dir": str(tmp_path), "dataset_dir": ds, "num_kpt": 96},
+           "evaluator": {"rescale": 640, "inlier_th": 0.005, "ransac_th": 1.0,
+                         "pose_backend": "jax"}}
+    out = evaluate_full(model, params, opt, dataset="yfcc", max_pairs=2)
+    assert set(out) == {"auc5", "auc10", "auc15", "auc20", "prec", "mscore"}
