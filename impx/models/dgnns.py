@@ -30,6 +30,17 @@ class DGNNS(GM):
             return forward_scan(self, stacked, data, p=p, only_last=only_last)
         return super().produce_matches(params, data, p=p, only_last=only_last, **kw)
 
+    def forward_train(self, params, data, train: bool = True, axis_name=None):
+        """Training forward; routes through the scan fast path (fused kernels
+        with custom VJP) when enabled — numerically equivalent per-iteration
+        supervision (reference gms.py:48-137)."""
+        if self.config.attn_impl == "pallas" and self.config.norm_fn == "in":
+            from impx.models.fast import forward_train_scan, stack_params
+
+            stacked = stack_params(params, self.config)
+            return forward_train_scan(self, stacked, data)
+        return super().forward_train(params, data, train=train, axis_name=axis_name)
+
     def pool(self, *args, **kwargs):
         """No pooling in plain IMP (reference gms.py:316-317)."""
         return None, None

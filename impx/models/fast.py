@@ -218,6 +218,96 @@ def forward_scan(
     return {"scores": out_scores, "indices0": out_idx0, "mscores0": out_ms0}
 
 
+def forward_train_scan(model, stacked: dict, data: dict[str, Any]):
+    """DGNNS training forward on the scan fast path: per-iteration Sinkhorn +
+    GraphLoss accumulated in the scan carry (reference gms.py:48-137
+    semantics: every cross-layer output supervised against the same GT mask).
+    Differentiable end-to-end (the fused kernel has a custom VJP)."""
+    from impx.models.loss import graph_loss, matching_accuracy
+
+    cfg = model.config
+    assert cfg.norm_fn == "in"
+    interpret = _interpret()
+    compute_dtype = model.compute_dtype
+
+    gt = data["matching_mask"]
+    valid0 = data.get("valid0")
+    valid1 = data.get("valid1")
+    b, n = data["descriptors0"].shape[:2]
+    if valid0 is None:
+        valid0 = jnp.ones((b, n), bool)
+    if valid1 is None:
+        valid1 = jnp.ones((b, data["descriptors1"].shape[1]), bool)
+
+    enc0, _ = model.encode_keypoint(
+        {"kenc": stacked["kenc"]}, data["norm_keypoints0"], data["scores0"], valid0)
+    enc1, _ = model.encode_keypoint(
+        {"kenc": stacked["kenc"]}, data["norm_keypoints1"], data["scores1"], valid1)
+    desc = jnp.concatenate([data["descriptors0"] + enc0, data["descriptors1"] + enc1], axis=0)
+    if compute_dtype is not None:
+        desc = desc.astype(compute_dtype)
+    mask = jnp.concatenate([valid0, valid1], axis=0)
+    mask_swap = jnp.concatenate([valid1, valid0], axis=0)
+
+    h = cfg.num_heads
+    dh = cfg.descriptor_dim // h
+    zero_qk = {
+        "q": jnp.zeros((2 * b, h, n, dh), compute_dtype or jnp.float32),
+        "k": jnp.zeros((2 * b, h, n, dh), compute_dtype or jnp.float32),
+    }
+    m1 = valid1.shape[1]
+    zero_score = jnp.zeros((b, n + 1, m1 + 1), jnp.float32)
+
+    def swap(x):
+        return jnp.concatenate([x[b:], x[:b]], axis=0)
+
+    def body(carry, per_it):
+        desc, qk_self, qk_cross, terms, _ = carry
+        delta, qk_self = _attn_block(per_it["self"], desc, desc, qk_self, mask, mask,
+                                     h, cfg.ac_fn, compute_dtype, interpret)
+        desc = desc + delta
+        delta, qk_cross = _attn_block(per_it["cross"], desc, swap(desc), qk_cross,
+                                      mask_swap, mask, h, cfg.ac_fn, compute_dtype,
+                                      interpret)
+        desc = desc + delta
+
+        pl = {"final_proj": [{"w": per_it["final_w"], "b": per_it["final_b"]}],
+              "bin_score": stacked["bin_score"]}
+        d0, d1 = desc[:b].astype(jnp.float32), desc[b:].astype(jnp.float32)
+        dist = model.compute_distance(pl, d0, d1, layer_id=-1)
+        score = model.compute_score(pl, dist, valid0, valid1)
+        t = graph_loss(score, gt)
+        terms = jax.tree.map(jnp.add, terms, t)
+        return (desc, qk_self, qk_cross, terms, score), None
+
+    per_it = {"self": stacked["self"], "cross": stacked["cross"],
+              "final_w": stacked["final_w"], "final_b": stacked["final_b"]}
+    zero_terms = {"corr": jnp.zeros(()), "incorr": jnp.zeros(()), "neg": jnp.zeros(())}
+    # rematerialize the body in the backward pass: storing 15 iterations of
+    # Sinkhorn plans + MLP intermediates (>4 GB at batch 16 / N 1024) blows
+    # HBM; recompute costs ~1.3x forward time instead
+    body_ckpt = jax.checkpoint(body, prevent_cse=False)
+    (desc, _, _, terms, last_score), _ = jax.lax.scan(
+        body_ckpt, (desc, zero_qk, zero_qk, zero_terms, zero_score), per_it)
+
+    n_it = cfg.n_layers
+    terms = jax.tree.map(lambda x: x / n_it, terms)
+    loss = terms["corr"] + terms["incorr"] + terms["neg"]
+    idx0, idx1, ms0, ms1 = model.compute_matches(
+        last_score, p=cfg.match_threshold, valid0=valid0, valid1=valid1)
+    acc = matching_accuracy(idx0, gt)
+    return {
+        "loss": loss,
+        "matching_loss": loss,
+        "matching_loss_corr": terms["corr"],
+        "matching_loss_incorr": terms["incorr"],
+        "matching_loss_neg": terms["neg"],
+        "matching_scores0": ms0,
+        "matches0": idx0,
+        **acc,
+    }
+
+
 def forward_scan_eimp(
     model,
     stacked: dict,

@@ -48,23 +48,10 @@ def _attn_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale: float):
     o_ref[0, 0] = (o / l).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("block_q", "interpret"))
-def mha_fused(q, k, v, key_mask=None, block_q: int = 256, interpret: bool = False):
-    """q [B,H,Nq,dh], k/v [B,H,Nk,dh], key_mask [B,Nk] (bool/float) -> [B,H,Nq,dh].
-
-    fp32 softmax; matmuls accumulate fp32 with inputs in q/k/v's dtype
-    (pass bf16 inputs for MXU-native throughput).
-    """
+def _mha_fwd_call(q, k, v, key_mask3, block_q: int, interpret: bool):
     b, h, nq, dh = q.shape
     nk = k.shape[2]
-    block_q = min(block_q, nq)
-    assert nq % block_q == 0, (nq, block_q)
-    if key_mask is None:
-        key_mask = jnp.ones((b, 1, nk), jnp.float32)
-    else:
-        key_mask = key_mask.astype(jnp.float32).reshape(b, 1, nk)
     scale = 1.0 / (dh ** 0.5)
-
     grid = (b, h, nq // block_q)
     return pl.pallas_call(
         functools.partial(_attn_kernel, scale=scale),
@@ -83,7 +70,124 @@ def mha_fused(q, k, v, key_mask=None, block_q: int = 256, interpret: bool = Fals
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, h, nq, dh), q.dtype),
         interpret=interpret,
-    )(q, k, v, key_mask)
+    )(q, k, v, key_mask3)
+
+
+def _attn_bwd_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref,
+                     dq_ref, dk_ref, dv_ref, *, scale: float):
+    """Flash-style backward: recompute p from (q, k), then
+    dv = p^T do; ds = p*(dp - rowsum(dp*p))*scale; dq = ds k; dk = ds^T q.
+    dk/dv accumulate across the (sequential) q-block grid dimension."""
+    qi = pl.program_id(2)
+    q = q_ref[0, 0]
+    k = k_ref[0, 0]
+    v = v_ref[0, 0]
+    do = do_ref[0, 0].astype(jnp.float32)
+
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * scale
+    mask = mask_ref[0, 0]
+    s = jnp.where(mask[None, :] > 0, s, NEG)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s - m)
+    p = e / jnp.sum(e, axis=-1, keepdims=True)  # [bq, Nk] fp32
+
+    dp = jax.lax.dot_general(do, v.astype(jnp.float32), (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)  # [bq, Nk]
+    delta = jnp.sum(dp * p, axis=-1, keepdims=True)
+    ds = p * (dp - delta) * scale  # [bq, Nk]
+
+    dq = jax.lax.dot_general(ds, k.astype(jnp.float32), (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    dq_ref[0, 0] = dq.astype(dq_ref.dtype)
+
+    @pl.when(qi == 0)
+    def _():
+        dk_ref[0, 0] = jnp.zeros_like(dk_ref[0, 0])
+        dv_ref[0, 0] = jnp.zeros_like(dv_ref[0, 0])
+
+    dv_ref[0, 0] += jax.lax.dot_general(
+        p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    dk_ref[0, 0] += jax.lax.dot_general(
+        ds, q.astype(jnp.float32), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+
+def _mha_bwd_call(q, k, v, key_mask3, do, block_q: int, interpret: bool):
+    b, h, nq, dh = q.shape
+    nk = k.shape[2]
+    scale = 1.0 / (dh ** 0.5)
+    grid = (b, h, nq // block_q)
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_attn_bwd_kernel, scale=scale),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, block_q, dh), lambda bi, hi, qi: (bi, hi, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, nk, dh), lambda bi, hi, qi: (bi, hi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, nk, dh), lambda bi, hi, qi: (bi, hi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, nk), lambda bi, hi, qi: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_q, dh), lambda bi, hi, qi: (bi, hi, qi, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, block_q, dh), lambda bi, hi, qi: (bi, hi, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, nk, dh), lambda bi, hi, qi: (bi, hi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, nk, dh), lambda bi, hi, qi: (bi, hi, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, h, nq, dh), jnp.float32),
+            jax.ShapeDtypeStruct((b, h, nk, dh), jnp.float32),
+            jax.ShapeDtypeStruct((b, h, nk, dh), jnp.float32),
+        ],
+        interpret=interpret,
+    )(q, k, v, key_mask3, do)
+    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _mha(q, k, v, key_mask3, block_q, interpret):
+    return _mha_fwd_call(q, k, v, key_mask3, block_q, interpret)
+
+
+def _mha_fwd(q, k, v, key_mask3, block_q, interpret):
+    out = _mha_fwd_call(q, k, v, key_mask3, block_q, interpret)
+    return out, (q, k, v, key_mask3)
+
+
+def _mha_bwd(block_q, interpret, res, do):
+    q, k, v, key_mask3 = res
+    dq, dk, dv = _mha_bwd_call(q, k, v, key_mask3, do, block_q, interpret)
+    return dq, dk, dv, jnp.zeros_like(key_mask3)
+
+
+_mha.defvjp(_mha_fwd, _mha_bwd)
+
+
+@functools.partial(jax.jit, static_argnames=("block_q", "interpret"))
+def mha_fused(q, k, v, key_mask=None, block_q: int = 256, interpret: bool = False):
+    """q [B,H,Nq,dh], k/v [B,H,Nk,dh], key_mask [B,Nk] (bool/float) -> [B,H,Nq,dh].
+
+    fp32 softmax; matmuls accumulate fp32 with inputs in q/k/v's dtype
+    (pass bf16 inputs for MXU-native throughput). Differentiable: a custom
+    VJP runs the flash-style backward kernel (recompute-from-qk; dk/dv
+    accumulated across the sequential q-block grid).
+    """
+    b, h, nq, dh = q.shape
+    nk = k.shape[2]
+    block_q = min(block_q, nq)
+    assert nq % block_q == 0, (nq, block_q)
+    if key_mask is None:
+        key_mask3 = jnp.ones((b, 1, nk), jnp.float32)
+    else:
+        key_mask3 = key_mask.astype(jnp.float32).reshape(b, 1, nk)
+    return _mha(q, k, v, key_mask3, block_q, interpret)
 
 
 def _mass_kernel(q_ref, k_ref, mask_ref, qmask_ref, mass_ref, *, scale: float):

@@ -1,0 +1,60 @@
+"""Scan-path training forward: loss/grad parity with the unrolled XLA path."""
+import dataclasses
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from impx.models import MatcherConfig, DGNNS
+from impx.data.megadepth import SyntheticMegadepth
+
+
+def _batch(n=4, nfeat=48, dim=32):
+    ds = SyntheticMegadepth(num_pairs=n, nfeatures=nfeat, desc_dim=dim, seed=0)
+    samples = [ds[i] for i in range(n)]
+    return {k: jnp.asarray(np.stack([s[k] for s in samples]).astype(np.float32))
+            for k in samples[0] if isinstance(samples[0][k], np.ndarray)}
+
+
+def test_forward_train_scan_matches_unrolled():
+    cfg_xla = MatcherConfig(descriptor_dim=32, keypoint_encoder=(16, 32), n_layers=3,
+                            sinkhorn_iterations=10, norm_fn="in", attn_impl="xla")
+    cfg_pl = dataclasses.replace(cfg_xla, attn_impl="pallas")
+    m_xla, m_pl = DGNNS(cfg_xla), DGNNS(cfg_pl)
+    params = m_xla.init(jax.random.PRNGKey(0))
+    batch = _batch()
+
+    out_xla = m_xla.forward_train(params, batch, train=True)
+    out_pl = m_pl.forward_train(params, batch, train=True)
+    np.testing.assert_allclose(float(out_pl["loss"]), float(out_xla["loss"]),
+                               rtol=1e-4)
+    np.testing.assert_allclose(float(out_pl["acc_corr"]), float(out_xla["acc_corr"]),
+                               rtol=1e-5)
+
+    g_xla = jax.grad(lambda p: m_xla.forward_train(p, batch, train=True)["loss"])(params)
+    g_pl = jax.grad(lambda p: m_pl.forward_train(p, batch, train=True)["loss"])(params)
+    lx = jax.tree.leaves(g_xla)
+    lp = jax.tree.leaves(g_pl)
+    assert len(lx) == len(lp)
+    for a, b in zip(lx, lp):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=5e-3, atol=1e-5)
+
+
+def test_forward_train_scan_learns():
+    from impx.train.step import TrainHyperParams, make_train_step, make_optimizer
+
+    cfg = MatcherConfig(descriptor_dim=32, keypoint_encoder=(16, 32), n_layers=2,
+                        sinkhorn_iterations=10, norm_fn="in", attn_impl="pallas")
+    model = DGNNS(cfg)
+    params = model.init(jax.random.PRNGKey(1))
+    hp = TrainHyperParams(lr=5e-4, decay_iter=10_000)
+    step = make_train_step(model, hp, donate=False)
+    opt = make_optimizer(hp).init(params)
+    batch = _batch(n=8)
+    losses = []
+    for it in range(40):
+        params, opt, m = step(params, opt, jnp.asarray(it), batch)
+        losses.append(float(m["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0] * 0.8, (losses[0], losses[-1])
