@@ -42,6 +42,11 @@ parser.add_argument("--weight_path", type=str, default=None)
 parser.add_argument("--weight_root", type=str, default="weights")
 parser.add_argument("--max_pairs", type=int, default=-1)
 parser.add_argument("--bucket", type=int, default=-1, help="keypoint padding bucket")
+parser.add_argument("--attn_impl", type=str, default="xla", choices=["xla", "pallas"],
+                    help="pallas = fused kernels via the scan fast path (fastest; "
+                         "first kernel compile can take minutes on a cold cache)")
+parser.add_argument("--compute_dtype", type=str, default="float32",
+                    choices=["float32", "bfloat16"])
 
 # reference weight-name table (eval/eval_imp.py:274-329)
 WEIGHT_TABLE = {
@@ -57,10 +62,13 @@ WEIGHT_TABLE = {
 
 
 def build_model(matching_method: str, feature: str, use_sinkhorn: bool = True,
-                n_layers: int = 15):
+                n_layers: int = 15, attn_impl: str = "xla",
+                compute_dtype: str = "float32"):
+    import dataclasses
+
     cfg = MatcherConfig.eval_config(feature, n_layers=n_layers)
-    if not use_sinkhorn:
-        cfg = MatcherConfig(**{**cfg.__dict__, "with_sinkhorn": False})
+    cfg = dataclasses.replace(cfg, with_sinkhorn=use_sinkhorn,
+                              attn_impl=attn_impl, compute_dtype=compute_dtype)
     if matching_method.startswith("EIMP"):
         return AdaGMN(cfg)
     return DGNNS(cfg)
@@ -224,7 +232,9 @@ def main():
         else:
             raise SystemExit(f"no config found at {default}; pass --config_path")
 
-    model = build_model(args.matching_method, feat, use_sinkhorn=not args.use_dual_softmax)
+    model = build_model(args.matching_method, feat,
+                        use_sinkhorn=not args.use_dual_softmax,
+                        attn_impl=args.attn_impl, compute_dtype=args.compute_dtype)
     weight_file = args.weight_path or osp.join(
         args.weight_root, WEIGHT_TABLE[args.matching_method][feat][args.dataset])
     params = load_params(model, weight_file)

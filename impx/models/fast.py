@@ -7,7 +7,8 @@ scan body contains exactly TWO kernel call sites (one self, one cross)
 regardless of depth. (b) It is the idiomatic XLA structure anyway: one
 compiled body, stacked parameters, no 30-layer graph.
 
-Equivalences used (all covered by tests/test_fast_path.py):
+Equivalences used (covered by tests/test_pallas_ops.py and
+tests/test_fast_train.py):
   * both images processed in one call by stacking them on the batch axis
     (the reference's own training trick, gms.py:91-105): self-attention
     source = the stack itself; cross-attention source = halves swapped;
@@ -20,7 +21,8 @@ Equivalences used (all covered by tests/test_fast_path.py):
     when per-iteration outputs are requested (EIMP), else once after the scan.
 
 Constraints: norm_fn='in' (no per-layer batch-norm state; this is the
-published eval config) and inference only.
+published eval config). Training uses forward_train_scan (the fused kernel
+has a custom VJP; the scan body is rematerialized).
 """
 from __future__ import annotations
 
@@ -30,8 +32,7 @@ import jax
 import jax.numpy as jnp
 
 from impx.models.config import MatcherConfig
-from impx.ops.attention import _from_bhnd, _to_bhnd, _interpret
-from impx.ops.mlp import dense_apply
+from impx.ops.attention import _interpret
 from impx.ops.norms import instance_norm
 
 

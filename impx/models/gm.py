@@ -238,6 +238,19 @@ class GM:
             **acc,
         }
 
+    def produce_matches_test(self, params, data, p: float = 0.2, only_last: bool = False, **kw):
+        """API alias (reference gm.py:249-250)."""
+        return self.produce_matches(params, data, p=p, only_last=only_last, **kw)
+
+    def __call__(self, params, data, mode: int = 0, training: bool = False):
+        """Reference forward dispatch (gm.py:252-258): training -> forward_train,
+        else mode 0 -> produce_matches, mode 1 -> run."""
+        if training:
+            return self.forward_train(params, data)
+        if mode == 0:
+            return self.produce_matches(params, data)
+        return self.run(params, data)
+
     def run(self, params, data):
         """SGMNet-style eval API (reference gm.py:322-364): kpts already
         normalized; returns the full last-iteration score matrix 'p'."""
