@@ -15,7 +15,6 @@ import jax.numpy as jnp
 
 from impx.data.reader import StandardReader, pad_features, round_up
 from impx.eval.evaluator import AucEval
-from impx.geometry.keypoints import normalize_size
 
 
 def feed_match(model, params, info, bucket: int, produce_fn):
@@ -25,10 +24,12 @@ def feed_match(model, params, info, bucket: int, produce_fn):
     x1, d1, v1 = pad_features(info["x2"], info["desc2"], bucket)
     size1 = info.get("img_size1", (480, 640))
     size2 = info.get("img_size2", (480, 640))
-    norm0 = np.asarray(normalize_size(
-        jnp.asarray(x0[:, :2]), np.array([size1[1], size1[0]]), scale=0.7))
-    norm1 = np.asarray(normalize_size(
-        jnp.asarray(x1[:, :2]), np.array([size2[1], size2[0]]), scale=0.7))
+    def _norm(x, size_wh):
+        size = np.asarray(size_wh, np.float32).reshape(1, 2)
+        return (x - size / 2.0 - 0.5) / (size.max() * 0.7)
+
+    norm0 = _norm(x0[:, :2], [size1[1], size1[0]])
+    norm1 = _norm(x1[:, :2], [size2[1], size2[0]])
 
     feed = {
         "descriptors0": jnp.asarray(d0)[None],

@@ -26,7 +26,7 @@ from impx.models import MatcherConfig, DGNNS, AdaGMN
 from impx.data.reader import StandardReader, pad_features, round_up
 from impx.eval.evaluator import AucEval
 from impx.geometry import pose as pose_metrics
-from impx.geometry.keypoints import normalize_keypoints, normalize_intrinsic
+from impx.geometry.pose import compute_pose_error_np
 
 parser = argparse.ArgumentParser(description="IMP (TPU)")
 parser.add_argument("--matching_method", type=str, default="IMP",
@@ -59,6 +59,16 @@ WEIGHT_TABLE = {
     "EIMP_geo": {"spp": {"scannet": "eimp_geo_spp_scannet.pth", "yfcc": "eimp_geo_spp_yfcc.pth"},
                  "sift": {"scannet": "eimp_geo_sift.pth", "yfcc": "eimp_geo_sift.pth"}},
 }
+
+
+def _normalize_keypoints_np(kpts, height, width, scale=0.7):
+    size = np.array([width, height], np.float32)
+    return (kpts - size / 2.0) / (size.max() * scale)
+
+
+def _normalize_intrinsic_np(x, K):
+    K = np.asarray(K)
+    return (x - K[:2, 2]) / np.array([K[0, 0], K[1, 1]])
 
 
 def build_model(matching_method: str, feature: str, use_sinkhorn: bool = True,
@@ -111,8 +121,8 @@ def evaluate(model, params, reader, error_th: float, eval_config: dict, args) ->
         h0, w0 = info.get("img_size1", (480, 640))
         h1, w1 = info.get("img_size2", (480, 640))
 
-        norm_k0 = np.asarray(normalize_keypoints(jnp.asarray(x0[:, :2]), h0, w0))
-        norm_k1 = np.asarray(normalize_keypoints(jnp.asarray(x1[:, :2]), h1, w1))
+        norm_k0 = _normalize_keypoints_np(x0[:, :2], h0, w0)
+        norm_k1 = _normalize_keypoints_np(x1[:, :2], h1, w1)
         feed = {
             "descriptors0": jnp.asarray(d0)[None],
             "descriptors1": jnp.asarray(d1)[None],
@@ -129,8 +139,8 @@ def evaluate(model, params, reader, error_th: float, eval_config: dict, args) ->
             from impx.eval.iterative import IterativeMatcher
             from impx.ransac.pose_solver import _norm_threshold
 
-            x0n = np.asarray(normalize_intrinsic(jnp.asarray(x0[:, :2]), jnp.asarray(K0)))
-            x1n = np.asarray(normalize_intrinsic(jnp.asarray(x1[:, :2]), jnp.asarray(K1)))
+            x0n = _normalize_intrinsic_np(x0[:, :2], K0)
+            x1n = _normalize_intrinsic_np(x1[:, :2], K1)
             feed["x0n"] = jnp.asarray(x0n)
             feed["x1n"] = jnp.asarray(x1n)
             if iterative_fn is None:
@@ -157,23 +167,21 @@ def evaluate(model, params, reader, error_th: float, eval_config: dict, args) ->
         mkpts1 = x1[np.clip(matches[valid], 0, bucket - 1), :2]
         T_0to1 = np.hstack([info["r_gt"], info["t_gt"].reshape(3, 1)])
 
-        # precision / matching score against GT E
-        norm_m0 = np.asarray(normalize_intrinsic(jnp.asarray(mkpts0), jnp.asarray(K0)))
-        norm_m1 = np.asarray(normalize_intrinsic(jnp.asarray(mkpts1), jnp.asarray(K1)))
+        # precision / matching score against GT E (numpy: host math must not
+        # dispatch eager device ops per pair)
+        norm_m0 = _normalize_intrinsic_np(mkpts0, K0)
+        norm_m1 = _normalize_intrinsic_np(mkpts1, K1)
         if len(norm_m0) > 0:
-            from impx.geometry import compute_epi_inlier
+            from impx.geometry.epipolar import compute_epi_inlier_np
 
-            correct = np.asarray(compute_epi_inlier(
-                jnp.asarray(norm_m0), jnp.asarray(norm_m1), jnp.asarray(info["e"]), 0.005))
+            correct = compute_epi_inlier_np(norm_m0, norm_m1, info["e"], 0.005)
             precision = float(correct.mean())
             matching_score = float(correct.sum() / max(len(info["x1"]), 1))
         else:
             precision = matching_score = 0.0
 
         if has_pose:
-            err_t, err_R = pose_metrics.compute_pose_error(
-                jnp.asarray(T_0to1), jnp.asarray(pred_R), jnp.asarray(pred_t))
-            err_t, err_R = float(err_t), float(err_R)
+            err_t, err_R = compute_pose_error_np(T_0to1, pred_R, pred_t)
         else:
             from impx.ransac.pose_solver import estimate_pose
 
@@ -182,8 +190,7 @@ def evaluate(model, params, reader, error_th: float, eval_config: dict, args) ->
                 err_t = err_R = np.inf
             else:
                 _, R_est, t_est, _ = ret
-                err_t, err_R = (float(x) for x in pose_metrics.compute_pose_error(
-                    jnp.asarray(T_0to1), jnp.asarray(R_est), jnp.asarray(t_est)))
+                err_t, err_R = compute_pose_error_np(T_0to1, R_est, t_est)
 
         pose_errors.append(max(err_R, err_t))
         precisions.append(precision)

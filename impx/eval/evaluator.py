@@ -15,7 +15,8 @@ import jax
 import jax.numpy as jnp
 
 from impx import geometry as G
-from impx.geometry.keypoints import normalize_intrinsic
+from impx.geometry.epipolar import compute_epi_inlier_np
+from impx.geometry.pose import evaluate_R_t_np
 
 
 class AucEval:
@@ -32,19 +33,15 @@ class AucEval:
         corr1, corr2 = info["corr1"], info["corr2"]  # matched pixel coords
         n_kpts1 = info["n_kpts1"]
 
-        norm1 = np.asarray(normalize_intrinsic(jnp.asarray(corr1), jnp.asarray(K1)))
-        norm2 = np.asarray(normalize_intrinsic(jnp.asarray(corr2), jnp.asarray(K2)))
+        norm1 = (corr1 - np.asarray(K1)[:2, 2]) / np.array([K1[0][0], K1[1][1]])
+        norm2 = (corr2 - np.asarray(K2)[:2, 2]) / np.array([K2[0][0], K2[1][1]])
 
         R_hat, t_hat = self._estimate(corr1, corr2, norm1, norm2, K1, K2, th)
-        err_r, err_t = G.evaluate_R_t(jnp.asarray(r_gt), jnp.asarray(t_gt),
-                                      jnp.asarray(R_hat), jnp.asarray(t_hat))
-        err_r, err_t = float(err_r), float(err_t)
+        err_r, err_t = evaluate_R_t_np(r_gt, t_gt, R_hat, t_hat)
         err = max(err_r, err_t)
 
         if len(corr1) > 1:
-            inlier = np.asarray(G.compute_epi_inlier(
-                jnp.asarray(norm1), jnp.asarray(norm2), jnp.asarray(E),
-                self.config["inlier_th"]))
+            inlier = compute_epi_inlier_np(norm1, norm2, E, self.config["inlier_th"])
             precision = float(inlier.mean())
             ms = float(inlier.sum() / max(n_kpts1, 1))
         else:

@@ -59,6 +59,26 @@ def compute_epi_inlier(x0, x1, E, inlier_th, return_error: bool = False):
     return mask
 
 
+def compute_epi_inlier_np(x0, x1, E, inlier_th, return_error: bool = False):
+    """Numpy twin of compute_epi_inlier for host-side eval loops."""
+    import numpy as np
+
+    x0 = np.asarray(x0, np.float64)
+    x1 = np.asarray(x1, np.float64)
+    E = np.asarray(E, np.float64)
+    x0h = np.concatenate([x0, np.ones_like(x0[:, :1])], axis=-1)
+    x1h = np.concatenate([x1, np.ones_like(x1[:, :1])], axis=-1)
+    l1 = x0h @ E.T
+    l0 = x1h @ E
+    norm = (1.0 / np.sqrt((l1[:, :2] ** 2).sum(1) + 1e-15)
+            + 1.0 / np.sqrt((l0[:, :2] ** 2).sum(1) + 1e-15)) / 2.0
+    dis = np.abs((l1 * x1h).sum(-1)) * norm
+    mask = dis < inlier_th
+    if return_error:
+        return mask, dis
+    return mask
+
+
 def sampson_distance(x0, x1, E):
     """Squared Sampson distance (first-order geometric error).
 

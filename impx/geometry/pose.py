@@ -86,6 +86,55 @@ def compute_pose_error(T_0to1, R, t):
     return error_t, error_R
 
 
+def quaternion_from_matrix_np(R):
+    """Numpy twin of quaternion_from_matrix for host-side eval loops (an
+    eager jnp eigh per pair is pathologically slow on remote backends)."""
+    R = np.asarray(R, np.float64)
+    m00, m01, m02 = R[0]
+    m10, m11, m12 = R[1]
+    m20, m21, m22 = R[2]
+    K = np.array([
+        [m00 - m11 - m22, m01 + m10, m02 + m20, m21 - m12],
+        [m01 + m10, m11 - m00 - m22, m12 + m21, m02 - m20],
+        [m02 + m20, m12 + m21, m22 - m00 - m11, m10 - m01],
+        [m21 - m12, m02 - m20, m10 - m01, m00 + m11 + m22],
+    ]) / 3.0
+    w, V = np.linalg.eigh(K)
+    q = V[:, -1]
+    return np.array([q[3], q[0], q[1], q[2]])
+
+
+def evaluate_R_t_np(R_gt, t_gt, R, t, eps: float = 1e-15):
+    """Numpy twin of evaluate_R_t (reference metrics.py:7-24)."""
+    t = np.asarray(t, np.float64).ravel()
+    t_gt = np.asarray(t_gt, np.float64).ravel()
+    q = quaternion_from_matrix_np(R)
+    q_gt = quaternion_from_matrix_np(R_gt)
+    q = q / (np.linalg.norm(q) + eps)
+    q_gt = q_gt / (np.linalg.norm(q_gt) + eps)
+    loss_q = max(eps, 1.0 - float(np.sum(q * q_gt)) ** 2)
+    err_q = np.arccos(1.0 - 2.0 * loss_q)
+    t = t / (np.linalg.norm(t) + eps)
+    t_gt = t_gt / (np.linalg.norm(t_gt) + eps)
+    loss_t = max(eps, 1.0 - float(np.sum(t * t_gt)) ** 2)
+    err_t = np.arccos(np.sqrt(1.0 - loss_t))
+    return np.rad2deg(err_q), np.rad2deg(err_t)
+
+
+def compute_pose_error_np(T_0to1, R, t):
+    """Numpy twin of compute_pose_error (reference tools/utils.py:433-439)."""
+    T = np.asarray(T_0to1, np.float64)
+    R = np.asarray(R, np.float64)
+    t = np.asarray(t, np.float64).ravel()
+    R_gt, t_gt = T[:3, :3], T[:3, 3]
+    n = np.linalg.norm(t) * np.linalg.norm(t_gt)
+    error_t = np.rad2deg(np.arccos(np.clip(np.dot(t, t_gt) / (n + 1e-15), -1, 1)))
+    error_t = min(error_t, 180.0 - error_t)
+    cos = np.clip((np.trace(R.T @ R_gt) - 1.0) / 2.0, -1.0, 1.0)
+    error_R = np.rad2deg(np.abs(np.arccos(cos)))
+    return error_t, error_R
+
+
 def pose_auc(errors, thresholds):
     """Exact AUC of the recall/error curve at each threshold
     (reference tools/utils.py:443-457). Host-side numpy."""
