@@ -47,6 +47,8 @@ parser.add_argument("--attn_impl", type=str, default="xla", choices=["xla", "pal
                          "first kernel compile can take minutes on a cold cache)")
 parser.add_argument("--compute_dtype", type=str, default="float32",
                     choices=["float32", "bfloat16"])
+parser.add_argument("--eval_batch", type=int, default=4,
+                    help="pairs per device call on the non-iterative path")
 
 # reference weight-name table (eval/eval_imp.py:274-329)
 WEIGHT_TABLE = {
@@ -94,6 +96,54 @@ def load_params(model, weight_file: str | None):
     return model.init(jax.random.PRNGKey(0))
 
 
+def _pair_feed_np(info, bucket):
+    x0, d0, v0 = pad_features(info["x1"], info["desc1"], bucket)
+    x1, d1, v1 = pad_features(info["x2"], info["desc2"], bucket)
+    h0, w0 = info.get("img_size1", (480, 640))
+    h1, w1 = info.get("img_size2", (480, 640))
+    return {
+        "descriptors0": d0, "descriptors1": d1,
+        "norm_keypoints0": _normalize_keypoints_np(x0[:, :2], h0, w0),
+        "norm_keypoints1": _normalize_keypoints_np(x1[:, :2], h1, w1),
+        "scores0": x0[:, 2], "scores1": x1[:, 2],
+        "valid0": v0, "valid1": v1,
+    }, x0, x1
+
+
+def _score_pair(info, x0, x1, matches, bucket, pose_errors, precisions,
+                matching_scores, error_th, pred_R=None, pred_t=None, has_pose=False):
+    from impx.geometry.epipolar import compute_epi_inlier_np
+    from impx.ransac.pose_solver import estimate_pose
+
+    K0, K1 = info["K1"], info["K2"]
+    valid = matches > -1
+    mkpts0 = x0[valid, :2]
+    mkpts1 = x1[np.clip(matches[valid], 0, bucket - 1), :2]
+    T_0to1 = np.hstack([info["r_gt"], info["t_gt"].reshape(3, 1)])
+
+    norm_m0 = _normalize_intrinsic_np(mkpts0, K0)
+    norm_m1 = _normalize_intrinsic_np(mkpts1, K1)
+    if len(norm_m0) > 0:
+        correct = compute_epi_inlier_np(norm_m0, norm_m1, info["e"], 0.005)
+        precision = float(correct.mean())
+        matching_score = float(correct.sum() / max(len(info["x1"]), 1))
+    else:
+        precision = matching_score = 0.0
+
+    if has_pose:
+        err_t, err_R = compute_pose_error_np(T_0to1, pred_R, pred_t)
+    else:
+        ret = estimate_pose(mkpts0, mkpts1, K0, K1, error_th) if len(mkpts0) >= 5 else None
+        if ret is None:
+            err_t = err_R = np.inf
+        else:
+            _, R_est, t_est, _ = ret
+            err_t, err_R = compute_pose_error_np(T_0to1, R_est, t_est)
+    pose_errors.append(max(err_R, err_t))
+    precisions.append(precision)
+    matching_scores.append(matching_score)
+
+
 def evaluate(model, params, reader, error_th: float, eval_config: dict, args) -> dict:
     thresholds = [5, 10, 20, 50]
     pose_errors, precisions, matching_scores, stop_its = [], [], [], []
@@ -112,6 +162,49 @@ def evaluate(model, params, reader, error_th: float, eval_config: dict, args) ->
     key = jax.random.PRNGKey(0)
     t_start = time.time()
     t_device = 0.0
+
+    if not args.use_iterative:
+        # batched path: several pairs per device call
+        eb = max(1, getattr(args, "eval_batch", 4))
+        index = 0
+        while index < n_pairs:
+            infos, x0s, x1s, feeds = [], [], [], []
+            for _ in range(min(eb, n_pairs - index)):
+                info = reader.run(index)
+                feed, x0, x1 = _pair_feed_np(info, bucket)
+                infos.append(info)
+                x0s.append(x0)
+                x1s.append(x1)
+                feeds.append(feed)
+                index += 1
+            while len(feeds) < eb:  # pad the last batch
+                feeds.append(feeds[-1])
+            batch = {k: jnp.asarray(np.stack([f[k] for f in feeds]))
+                     for k in feeds[0]}
+            t0 = time.time()
+            out = produce(params, batch)
+            matches_b = np.asarray(out["indices0"][-1])
+            t_device += time.time() - t0
+            for bi, info in enumerate(infos):
+                _score_pair(info, x0s[bi], x1s[bi], matches_b[bi], bucket,
+                            pose_errors, precisions, matching_scores, error_th)
+                stop_its.append(model.config.n_layers)
+            if index % 100 < eb or index >= n_pairs:
+                aucs = [100 * a for a in pose_metrics.pose_auc(pose_errors, thresholds)]
+                print(f"[{index}/{n_pairs}] AUC@5/10/20/50: "
+                      f"{aucs[0]:.2f}/{aucs[1]:.2f}/{aucs[2]:.2f}/{aucs[3]:.2f} "
+                      f"Prec {100 * np.mean(precisions):.2f} "
+                      f"MScore {100 * np.mean(matching_scores):.2f} "
+                      f"({t_device / max(index, 1) * 1000:.1f} ms/pair device)")
+        aucs = [100 * a for a in pose_metrics.pose_auc(pose_errors, thresholds)]
+        return {
+            "auc": dict(zip(thresholds, aucs)),
+            "precision": 100 * float(np.mean(precisions)),
+            "matching_score": 100 * float(np.mean(matching_scores)),
+            "mean_stop_iteration": float(np.mean(stop_its)),
+            "pairs_per_sec_device": (len(pose_errors) / t_device) if t_device > 0 else 0.0,
+            "total_time": time.time() - t_start,
+        }
 
     for index in range(n_pairs):
         info = reader.run(index)
