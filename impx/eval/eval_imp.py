@@ -236,13 +236,13 @@ def evaluate(model, params, reader, error_th: float, eval_config: dict, args) ->
             x1n = _normalize_intrinsic_np(x1[:, :2], K1)
             feed["x0n"] = jnp.asarray(x0n)
             feed["x1n"] = jnp.asarray(x1n)
+            nt = _norm_threshold(error_th, K0, K1)
             if iterative_fn is None:
-                nt = _norm_threshold(error_th, K0, K1)
                 iterative_fn = IterativeMatcher(
                     model, params, norm_thresh=nt, match_ratio=0.1,
                     min_kpts=25, with_uncertainty=args.use_uncertainty)
             key, sub = jax.random.split(key)
-            out = iterative_fn.run(feed, sub)
+            out = iterative_fn.run(feed, sub, norm_thresh=nt)
             matches = np.asarray(out["indices0"])
             pred_R, pred_t = np.asarray(out["R"]), np.asarray(out["t"])
             has_pose = bool(out["has_pose"])

@@ -110,7 +110,7 @@ class IterativeMatcher:
         return score, idx0, ms0
 
     def _check_impl(self, ni, desc0, desc1, keep0, keep1, x0n, x1n,
-                    last_R, last_t, has_pose, key):
+                    last_R, last_t, has_pose, key, norm_thresh):
         """One convergence check; ni is a traced scalar used only to select
         final_proj weights, so this compiles once."""
         from impx.ransac.pose_solver import estimate_pose_jax
@@ -131,7 +131,7 @@ class IterativeMatcher:
         n_matches = jnp.sum(m_valid)
         mx0 = x0n
         mx1 = x1n[jnp.clip(idx0[0], 0, x1n.shape[0] - 1)]
-        pose = estimate_pose_jax(key, mx0, mx1, m_valid, self.norm_thresh,
+        pose = estimate_pose_jax(key, mx0, mx1, m_valid, norm_thresh,
                                  num_hypotheses=self.num_hypotheses)
         enough = n_matches >= self.min_kpts
         pose_ok = pose["num_inliers"] >= 5
@@ -162,9 +162,13 @@ class IterativeMatcher:
                                      mscore_th=mscore_th)
 
     # --------------------------------------------------------------- host loop
-    def run(self, data: dict[str, Any], key) -> dict[str, Any]:
+    def run(self, data: dict[str, Any], key, norm_thresh=None) -> dict[str, Any]:
         """data: descriptors0/1 [1,N,D], norm_keypoints0/1 [1,N,2],
-        scores0/1 [1,N], valid0/1 [1,N], x0n/x1n [N,2] intrinsics-normalized."""
+        scores0/1 [1,N], valid0/1 [1,N], x0n/x1n [N,2] intrinsics-normalized.
+        norm_thresh overrides the constructor default per pair (intrinsics
+        vary across a dataset; the RANSAC threshold must follow)."""
+        if norm_thresh is None:
+            norm_thresh = self.norm_thresh
         model = self.model
         n_layers = model.config.n_layers
 
@@ -183,7 +187,8 @@ class IterativeMatcher:
                 continue
             key, sub = jax.random.split(key)
             out = self._check(jnp.asarray(ni), desc0, desc1, keep0, keep1,
-                              data["x0n"], data["x1n"], R, t, has_pose, sub)
+                              data["x0n"], data["x1n"], R, t, has_pose, sub,
+                              jnp.asarray(norm_thresh, jnp.float32))
             R, t, has_pose = out["R"], out["t"], out["has_pose"]
 
             if self.with_uncertainty:

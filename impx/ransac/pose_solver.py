@@ -14,6 +14,8 @@ conversion explicitly.
 """
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -33,12 +35,13 @@ def normalize_pts(pts, K):
     return (np.asarray(pts) - K[:2, 2]) / np.array([K[0, 0], K[1, 1]])
 
 
+@functools.partial(jax.jit, static_argnames=("num_hypotheses", "lo_iterations"))
 def estimate_pose_jax(
     key,
     x0n,
     x1n,
     valid,
-    norm_thresh: float,
+    norm_thresh,
     num_hypotheses: int = 1024,
     lo_iterations: int = 4,
     distance_thresh: float = 1000.0,
