@@ -138,7 +138,7 @@ class Trainer:
         return restored["params"], restored["opt_state"]
 
     # ------------------------------------------------------------------ epochs
-    def _batches(self) -> Iterable[dict]:
+    def _batches_sync(self) -> Iterable[dict]:
         bs = self.args.batch_size
         idx = 0
         n = len(self.dataset)
@@ -151,6 +151,31 @@ class Trainer:
             }
             yield shard_batch(self.mesh, batch)
             idx += bs
+
+    def _batches(self) -> Iterable[dict]:
+        """Background-thread prefetch (depth 2) so host-side batch assembly
+        overlaps the device step — the reference uses DataLoader workers for
+        the same reason (train.py:87)."""
+        import queue
+        import threading
+
+        q: "queue.Queue" = queue.Queue(maxsize=2)
+        sentinel = object()
+
+        def producer():
+            try:
+                for batch in self._batches_sync():
+                    q.put(batch)
+            finally:
+                q.put(sentinel)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is sentinel:
+                break
+            yield item
 
     def process_epoch(self, params, opt_state):
         its_per_epoch = getattr(self.args, "its_per_epoch", -1)
