@@ -99,10 +99,13 @@ def dual_softmax(
     (reference nets/layers.py:20-24), masked."""
     b, n, m = dist.shape
     _, _, v0p, v1p = _padded_masks(b, n, m, valid0, valid1, dist.dtype)
+    ok = v0p[:, :, None] & v1p[:, None, :]
     M = _pad_with_dustbin(dist, dustbin)
-    M = jnp.where(v0p[:, :, None] & v1p[:, None, :], M, _NEG)
+    M = jnp.where(ok, M, _NEG)
     score = jax.nn.log_softmax(M, axis=-1) + jax.nn.log_softmax(M, axis=-2)
-    return jnp.exp(score)
+    # fully-masked rows x cols softmax to uniform garbage at pad-pad cells;
+    # zero them so padded entries carry exactly no mass
+    return jnp.where(ok, jnp.exp(score), 0.0)
 
 
 def log_optimal_transport(
