@@ -61,7 +61,8 @@ def main():
     @jax.jit
     def run_stream(p, stack):
         def body(acc, d):
-            out = model.produce_matches(p, d, p=0.2, only_last=True)
+            out = model.produce_matches(p, d, p=0.2, only_last=True,
+                                        with_scores=False)
             return acc + jnp.sum(out["mscores0"][-1]), None
         acc, _ = jax.lax.scan(body, jnp.zeros(()), stack)
         return acc

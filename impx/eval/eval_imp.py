@@ -155,7 +155,8 @@ def evaluate(model, params, reader, error_th: float, eval_config: dict, args) ->
         bucket = round_up(reader.num_kpt, 128)
 
     produce = jax.jit(
-        lambda p, d: model.produce_matches(p, d, p=0.2, only_last=True))
+        lambda p, d: model.produce_matches(p, d, p=0.2, only_last=True,
+                                           with_scores=False))
     iterative_fn = None
 
     evaluator = AucEval({**eval_config, "pose_backend": args.pose_backend})

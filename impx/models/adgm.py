@@ -87,8 +87,17 @@ class AdaGMN(DGNNS):
                         keep0, keep1, th, n_min_tokens):
         """Core pooling rule given the normalized key attention masses."""
         inner = pred_score[:, :-1, :-1]
-        pids0 = (jnp.sum(inner, axis=2) >= th) & keep0
-        pids1 = (jnp.sum(inner, axis=1) >= th) & keep1
+        return self._pool_from_masses(
+            jnp.sum(inner, axis=2), jnp.sum(inner, axis=1),
+            norm00, norm01, norm11, norm10, keep0, keep1, th, n_min_tokens)
+
+    def _pool_from_masses(self, rowmass, colmass, norm00, norm01, norm11,
+                          norm10, keep0, keep1, th, n_min_tokens):
+        """Pooling rule from interior row/col mass of the assignment matrix
+        ([B,N]/[B,M]) — lets the fused Sinkhorn kernel feed pooling without
+        materializing the plan (reference adgm.py:246-265 semantics)."""
+        pids0 = (rowmass >= th) & keep0
+        pids1 = (colmass >= th) & keep1
 
         def side(keep, pids, norm_a, norm_b):
             md_a = masked_median(norm_a, pids)[:, None]
@@ -201,7 +210,8 @@ class AdaGMN(DGNNS):
         return all_scores, all_idx0, all_ms0, total, (keep0, keep1)
 
     def produce_matches(self, params, data, p: float = 0.2, mscore_th: float = 0.1,
-                        uncertainty_ratio: float = 1.0, only_last: bool = False, **_):
+                        uncertainty_ratio: float = 1.0, only_last: bool = False,
+                        with_scores: bool = True, **_):
         """Reference adgm.py:327-526 (eval path)."""
         if self.config.attn_impl == "pallas" and self.config.norm_fn == "in":
             from impx.models.fast import forward_scan_eimp, stack_params
@@ -209,7 +219,7 @@ class AdaGMN(DGNNS):
             stacked = stack_params(params, self.config)
             return forward_scan_eimp(self, stacked, data, p=p, mscore_th=mscore_th,
                                      uncertainty_ratio=uncertainty_ratio,
-                                     only_last=only_last)
+                                     only_last=only_last, with_scores=with_scores)
         all_scores, all_idx0, all_ms0, _, keeps = self._iterate(
             params, data, p, mscore_th, uncertainty_ratio)
         if only_last:

@@ -19,15 +19,19 @@ from impx.models.gm import GM
 class DGNNS(GM):
     sharing = True
 
-    def produce_matches(self, params, data, p: float = 0.2, only_last: bool = False, **kw):
+    def produce_matches(self, params, data, p: float = 0.2, only_last: bool = False,
+                        with_scores: bool = True, **kw):
         """Route the inference forward through the scan fast path when the
         fused kernels are enabled (2 kernel call sites total; see
-        impx/models/fast.py) — numerically identical to the unrolled path."""
+        impx/models/fast.py) — numerically identical to the unrolled path.
+        with_scores=False (fast path only) skips materializing the transport
+        plan in HBM; 'scores' comes back [None]."""
         if self.config.attn_impl == "pallas" and self.config.norm_fn == "in":
             from impx.models.fast import forward_scan, stack_params
 
             stacked = stack_params(params, self.config)
-            return forward_scan(self, stacked, data, p=p, only_last=only_last)
+            return forward_scan(self, stacked, data, p=p, only_last=only_last,
+                                with_scores=with_scores)
         return super().produce_matches(params, data, p=p, only_last=only_last, **kw)
 
     def forward_train(self, params, data, train: bool = True, axis_name=None):
@@ -59,6 +63,7 @@ class DGNNS(GM):
             "valid0": data.get("valid0"),
             "valid1": data.get("valid1"),
         }
-        out = self.produce_matches(params, feed, p=self.config.match_threshold, only_last=True)
+        out = self.produce_matches(params, feed, p=self.config.match_threshold,
+                                   only_last=True, with_scores=False)
         indices0 = out["indices0"][-1]
         return {"indices0": indices0, "mscores0": out["mscores0"][-1]}

@@ -134,10 +134,15 @@ def forward_scan(
     data: dict[str, Any],
     p: float = 0.2,
     only_last: bool = True,
+    with_scores: bool = True,
 ):
     """DGNNS produce_matches on the scan fast path. data uses the standard
     matcher feed (descriptors0/1 [B,N,D], norm_keypoints0/1, scores0/1,
-    valid0/1). Returns the same dict structure as GM.produce_matches."""
+    valid0/1). Returns the same dict structure as GM.produce_matches.
+
+    with_scores=False skips materializing the [B,N+1,M+1] transport plan in
+    HBM entirely (matches come from the fused Sinkhorn kernel's stats); eval
+    paths that only consume indices/mscores should pass False."""
     cfg = model.config
     assert cfg.norm_fn == "in", "scan fast path supports norm_fn='in' only"
     interpret = _interpret()
@@ -197,8 +202,23 @@ def forward_scan(
     if only_last:
         desc0, desc1 = desc[:b].astype(jnp.float32), desc[b:].astype(jnp.float32)
         dist = model.compute_distance(params_like, desc0, desc1, layer_id=-1)
-        score = model.compute_score(params_like, dist, valid0, valid1)
-        idx0, idx1, ms0, ms1 = model.compute_matches(score, p=p, valid0=valid0, valid1=valid1)
+        if cfg.with_sinkhorn:
+            from impx.ops.matching import matches_from_stats
+            from impx.ops.pallas.sinkhorn import (
+                sinkhorn_fused_stats, sinkhorn_plan_from_uv)
+
+            stats = sinkhorn_fused_stats(
+                dist, stacked["bin_score"], cfg.sinkhorn_iterations,
+                valid0, valid1, interpret=interpret)
+            idx0, idx1, ms0, ms1 = matches_from_stats(
+                stats["max0"], stats["idx0"], stats["idx1"], p, valid0, valid1)
+            score = (sinkhorn_plan_from_uv(
+                dist, stacked["bin_score"], stats["u"], stats["v"],
+                valid0, valid1) if with_scores else None)
+        else:
+            score = model.compute_score(params_like, dist, valid0, valid1)
+            idx0, idx1, ms0, ms1 = model.compute_matches(
+                score, p=p, valid0=valid0, valid1=valid1)
         return {"scores": [score], "indices0": [idx0], "mscores0": [ms0]}
 
     # per-iteration outputs: project each collected iteration (host loop over
@@ -317,16 +337,23 @@ def forward_scan_eimp(
     mscore_th: float = 0.1,
     uncertainty_ratio: float = 1.0,
     only_last: bool = False,
+    with_scores: bool = True,
 ):
     """AdaGMN produce_matches on the scan fast path: per-iteration Sinkhorn +
     matches inside the body, adaptive pooling on updating iterations via the
-    attention column-mass kernel (probabilities never materialize).
+    attention column-mass kernel (probabilities never materialize). With the
+    fused Sinkhorn kernel, matches and pooling masses come straight from the
+    kernel stats — no [B,N+1,M+1] plan ever reaches HBM (with_scores=True
+    rebuilds only the last iteration's plan in one pass).
 
     Mass bookkeeping on the stacked batch: the self qk-state gives key masses
     [m00; m11] for rows [0:B; B:2B]; the cross state (source swapped) gives
     [m10; m01] — exactly the four statistics of reference adgm.py:424-432.
     """
+    from impx.ops.matching import matches_from_stats
     from impx.ops.pallas.attention import attention_key_mass
+    from impx.ops.pallas.sinkhorn import (
+        sinkhorn_fused_stats, sinkhorn_plan_from_uv)
 
     cfg = model.config
     assert cfg.norm_fn == "in"
@@ -383,11 +410,27 @@ def forward_scan_eimp(
               "bin_score": stacked["bin_score"]}
         d0, d1 = desc[:b].astype(jnp.float32), desc[b:].astype(jnp.float32)
         dist = model.compute_distance(pl, d0, d1, layer_id=-1)
-        score = model.compute_score(pl, dist, keep0, keep1)
-        idx0, _, ms0, _ = model.compute_matches(score, p=p, valid0=keep0, valid1=keep1)
+        keep0_used, keep1_used = keep0, keep1
+        if cfg.with_sinkhorn:
+            # fused kernel: matches + pooling masses with no HBM plan
+            stats = sinkhorn_fused_stats(
+                dist, stacked["bin_score"], cfg.sinkhorn_iterations,
+                keep0, keep1, interpret=interpret)
+            idx0, _, ms0, _ = matches_from_stats(
+                stats["max0"], stats["idx0"], stats["idx1"], p, keep0, keep1)
+            rowmass, colmass = stats["rowmass"], stats["colmass"]
+            uv = (stats["u"], stats["v"])
+        else:
+            score = model.compute_score(pl, dist, keep0, keep1)
+            idx0, _, ms0, _ = model.compute_matches(score, p=p, valid0=keep0,
+                                                    valid1=keep1)
+            inner = score[:, :-1, :-1]
+            rowmass = jnp.sum(inner, axis=2)
+            colmass = jnp.sum(inner, axis=1)
+            uv = (jnp.zeros((b, n + 1)), jnp.zeros((b, n + 1)))
 
         def pool(operands):
-            score, qk_self, qk_cross, keep0, keep1 = operands
+            rowmass, colmass, qk_self, qk_cross, keep0, keep1 = operands
             keep = jnp.concatenate([keep0, keep1], axis=0)
             keep_swap = jnp.concatenate([keep1, keep0], axis=0)
             m_self = attention_key_mass(qk_self["q"], qk_self["k"],
@@ -397,15 +440,16 @@ def forward_scan_eimp(
             norm = lambda m: m / (jnp.sum(m, axis=1, keepdims=True) + 1e-15)
             n00, n11 = norm(m_self[:b]), norm(m_self[b:])
             n10, n01 = norm(m_cross[:b]), norm(m_cross[b:])
-            return model._pool_from_norm(
-                score, n00, n01, n11, n10, keep0, keep1,
+            return model._pool_from_masses(
+                rowmass, colmass, n00, n01, n11, n10, keep0, keep1,
                 mscore_th * uncertainty_ratio, cfg.n_min_tokens)
 
         keep0, keep1 = jax.lax.cond(
-            per_it["do_pool"] > 0.5, pool, lambda op: (op[3], op[4]),
-            (score, qk_self, qk_cross, keep0, keep1))
+            per_it["do_pool"] > 0.5, pool, lambda op: (op[4], op[5]),
+            (rowmass, colmass, qk_self, qk_cross, keep0, keep1))
 
-        return (desc, qk_self, qk_cross, keep0, keep1), (idx0, ms0, score)
+        return ((desc, qk_self, qk_cross, keep0, keep1),
+                (idx0, ms0, uv, keep0_used, keep1_used))
 
     per_it = {
         "self": stacked["self"], "cross": stacked["cross"],
@@ -413,14 +457,31 @@ def forward_scan_eimp(
         "do_pool": do_pool,
     }
     carry0 = (desc, zero_qk, zero_qk, valid0, valid1)
-    (desc, _, _, keep0, keep1), (all_idx0, all_ms0, all_scores) = jax.lax.scan(
-        body, carry0, per_it)
+    (desc, _, _, keep0, keep1), (all_idx0, all_ms0, all_uv, k0u, k1u) = \
+        jax.lax.scan(body, carry0, per_it)
+
+    if with_scores:
+        # materialize only the LAST iteration's plan, in one fused pass
+        pl = {"final_proj": [
+            {"w": stacked["final_w"][-1], "b": stacked["final_b"][-1]}],
+            "bin_score": stacked["bin_score"]}
+        d0, d1 = desc[:b].astype(jnp.float32), desc[b:].astype(jnp.float32)
+        dist = model.compute_distance(pl, d0, d1, layer_id=-1)
+        if cfg.with_sinkhorn:
+            last_score = sinkhorn_plan_from_uv(
+                dist, stacked["bin_score"], all_uv[0][-1], all_uv[1][-1],
+                k0u[-1], k1u[-1])
+        else:
+            last_score = model.compute_score(pl, dist, k0u[-1], k1u[-1])
+        scores = [last_score]
+    else:
+        scores = [None]
 
     if only_last:
-        return {"scores": [all_scores[-1]], "indices0": [all_idx0[-1]],
+        return {"scores": scores, "indices0": [all_idx0[-1]],
                 "mscores0": [all_ms0[-1]], "keep0": keep0, "keep1": keep1}
     nI = cfg.n_layers
-    return {"scores": [all_scores[-1]],
+    return {"scores": scores,
             "indices0": [all_idx0[i] for i in range(nI)],
             "mscores0": [all_ms0[i] for i in range(nI)],
             "keep0": keep0, "keep1": keep1}

@@ -47,3 +47,112 @@ def matches_from_indices0(indices0):
     indices0 = np.asarray(indices0)
     valid = indices0 > -1
     return np.stack([np.where(valid)[0], indices0[valid]], axis=1)
+
+
+# --------------------------------------------------------------------------
+# matplotlib figure suite (reference tools/utils.py:463-499, 737-847) —
+# same API surface, reimplemented; matplotlib imported lazily so headless
+# pipelines never pay for it.
+
+def plot_image_pair(imgs, dpi=100, size=6, pad=0.5):
+    """Two grayscale images side by side; returns (fig, axes)."""
+    import matplotlib.pyplot as plt
+
+    assert len(imgs) == 2, "number of images must be two"
+    figsize = (size * 2, size * 3 / 4) if size is not None else None
+    fig, ax = plt.subplots(1, 2, figsize=figsize, dpi=dpi)
+    for a, im in zip(ax, imgs):
+        a.imshow(im, cmap="gray", vmin=0, vmax=255)
+        a.set_xticks([])
+        a.set_yticks([])
+        for spine in a.spines.values():
+            spine.set_visible(False)
+    fig.tight_layout(pad=pad)
+    return fig, ax
+
+
+def plot_keypoints(ax, kpts0, kpts1, color="w", ps=2):
+    ax[0].scatter(kpts0[:, 0], kpts0[:, 1], c=color, s=ps)
+    ax[1].scatter(kpts1[:, 0], kpts1[:, 1], c=color, s=ps)
+
+
+def plot_matches_fig(fig, ax, mkpts0, mkpts1, color, lw=1.5, ps=4):
+    """Figure-space match lines between the two axes (per-match colors)."""
+    import matplotlib.lines
+
+    fig.canvas.draw()
+    inv = fig.transFigure.inverted()
+    f0 = inv.transform(ax[0].transData.transform(mkpts0))
+    f1 = inv.transform(ax[1].transData.transform(mkpts1))
+    fig.lines = [
+        matplotlib.lines.Line2D((f0[i, 0], f1[i, 0]), (f0[i, 1], f1[i, 1]),
+                                zorder=1, transform=fig.transFigure,
+                                c=color[i], linewidth=lw)
+        for i in range(len(mkpts0))
+    ]
+    ax[0].scatter(mkpts0[:, 0], mkpts0[:, 1], c=color, s=ps)
+    ax[1].scatter(mkpts1[:, 0], mkpts1[:, 1], c=color, s=ps)
+
+
+def error_colormap(x):
+    """Red (x=0) -> yellow -> green (x=1) RGBA ramp (reference
+    tools/utils.py:850-852); callers pass x = 1 - error so correct matches
+    render green."""
+    x = np.asarray(x)
+    return np.clip(np.stack(
+        [2 - x * 2, x * 2, np.zeros_like(x), np.ones_like(x)], -1), 0, 1)
+
+
+def make_matching_plot(image0, image1, kpts0, kpts1, mkpts0, mkpts1, color,
+                       text=(), path=None, show_keypoints=False,
+                       fast_viz=False, small_text=()):
+    """Annotated match figure (reference tools/utils.py:737-773). color:
+    [M, 4] RGBA per match (e.g. error_colormap(errors)). fast_viz routes to
+    the cv2 canvas (returns the image array instead of saving a figure)."""
+    if fast_viz:
+        matches = np.stack([np.arange(len(mkpts0)), np.arange(len(mkpts1))], 1)
+        canvas = draw_matches(image0, image1, mkpts0, mkpts1, matches)
+        if path is not None:
+            import cv2
+
+            cv2.imwrite(str(path), canvas)
+        return canvas
+
+    import matplotlib.pyplot as plt
+
+    fig, ax = plot_image_pair([image0, image1])
+    if show_keypoints:
+        plot_keypoints(ax, kpts0, kpts1, color="k", ps=20)
+        plot_keypoints(ax, kpts0, kpts1, color="r", ps=10)
+    plot_matches_fig(fig, ax, mkpts0, mkpts1, color)
+
+    img0 = np.asarray(image0)
+    txt_color = "k" if img0[:100, :150].mean() > 200 else "w"
+    fig.text(0.01, 0.99, "\n".join(text), transform=ax[0].transAxes,
+             fontsize=15, va="top", ha="left", color=txt_color)
+    txt_color = "k" if img0[-100:, :150].mean() > 200 else "w"
+    fig.text(0.01, 0.01, "\n".join(small_text), transform=ax[0].transAxes,
+             fontsize=5, va="bottom", ha="left", color=txt_color)
+    if path is not None:
+        fig.savefig(str(path), bbox_inches="tight", pad_inches=0)
+    plt.close(fig)
+    return fig
+
+
+def eval_matches(pred_matches, gt_matches):
+    """Inlier ratio of predicted matches + recall vs GT (reference
+    tools/utils.py:855-878), vectorized: pred_matches [N,2] index pairs,
+    gt_matches [K] with -1 = unmatched."""
+    pred_matches = np.asarray(pred_matches).reshape(-1, 2)
+    gt_matches = np.asarray(gt_matches)
+    if len(pred_matches):
+        correct = gt_matches[pred_matches[:, 0]] == pred_matches[:, 1]
+        n_corr = int(np.sum(correct & (gt_matches[pred_matches[:, 0]] != -1)))
+    else:
+        n_corr = 0
+    n_pred = len(pred_matches)
+    n_gt = int(np.sum(gt_matches != -1))
+    return {
+        "inlier_ratio": n_corr / n_pred if n_pred > 0 else 0,
+        "recall_ratio": n_corr / n_gt if n_gt > 0 else 0,
+    }

@@ -53,25 +53,51 @@ def make_optimizer(hp: TrainHyperParams) -> optax.GradientTransformation:
     return optax.chain(*chain)
 
 
+def init_stats() -> dict[str, jax.Array]:
+    """Device-resident running stats threaded through the step so the trainer
+    never has to sync per step (it syncs once per log interval)."""
+    z = jnp.zeros((), jnp.float32)
+    return {"loss_sum": z, "n_good": z, "consec_bad": z, "max_consec_bad": z}
+
+
 def make_train_step(model, hp: TrainHyperParams, donate: bool = True) -> Callable:
-    """Returns step(params, opt_state, iteration, batch) ->
-    (params, opt_state, metrics). jit with donated params/opt_state; shard the
-    batch's leading axis over the mesh and XLA inserts the gradient psum."""
+    """Returns step(params, opt_state, iteration, batch, stats) ->
+    (params, opt_state, metrics, stats). jit with donated params/opt_state;
+    shard the batch's leading axis over the mesh and XLA inserts the gradient
+    psum.
+
+    NaN guard: on a non-finite loss the ENTIRE update is skipped — params and
+    optimizer state pass through unchanged (the reference skips
+    optimizer.step(), trainer.py:119-150; merely zeroing grads would still
+    move Adam's momentum). The running `stats` count good losses and
+    consecutive bad steps in-jit so the trainer's hot loop stays sync-free."""
     tx = make_optimizer(hp)
 
     def loss_fn(params, batch):
         out = model.forward_train(params, batch, train=True)
         return out["loss"], out
 
-    def step(params, opt_state, iteration, batch):
+    def step(params, opt_state, iteration, batch, stats):
         (loss, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(params, batch)
         bad = ~jnp.isfinite(loss)
-        # zero non-finite grads (NaN guard inside jit)
         grads = jax.tree.map(lambda g: jnp.where(bad, jnp.zeros_like(g), g), grads)
         lr = lr_at(hp, iteration)
-        updates, opt_state = tx.update(grads, opt_state, params)
+        updates, new_opt_state = tx.update(grads, opt_state, params)
         updates = jax.tree.map(lambda u: u * lr, updates)
-        params = optax.apply_updates(params, updates)
+        new_params = optax.apply_updates(params, updates)
+        # skip the whole update on a bad loss (reference trainer.py:119-150)
+        params = jax.tree.map(lambda o, n: jnp.where(bad, o, n), params, new_params)
+        opt_state = jax.tree.map(
+            lambda o, n: jnp.where(bad, o, n) if hasattr(n, "dtype") else n,
+            opt_state, new_opt_state)
+        badf = bad.astype(jnp.float32)
+        consec = jnp.where(bad, stats["consec_bad"] + 1.0, 0.0)
+        stats = {
+            "loss_sum": stats["loss_sum"] + jnp.where(bad, 0.0, loss),
+            "n_good": stats["n_good"] + (1.0 - badf),
+            "consec_bad": consec,
+            "max_consec_bad": jnp.maximum(stats["max_consec_bad"], consec),
+        }
         metrics = {
             "loss": loss,
             "matching_loss": out.get("matching_loss", loss),
@@ -83,7 +109,9 @@ def make_train_step(model, hp: TrainHyperParams, donate: bool = True) -> Callabl
             "lr": lr,
             "bad_loss": bad.astype(jnp.int32),
         }
-        return params, opt_state, metrics
+        return params, opt_state, metrics, stats
 
+    # stats are 4 scalars — not worth donating (and init_stats' identical
+    # zeros can alias one buffer, which donation rejects)
     donate_argnums = (0, 1) if donate else ()
     return jax.jit(step, donate_argnums=donate_argnums)

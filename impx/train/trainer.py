@@ -178,38 +178,66 @@ class Trainer:
             yield item
 
     def process_epoch(self, params, opt_state):
+        """Hot loop is host-sync-free: per-step metrics and the NaN-guard
+        counters accumulate ON DEVICE (impx/train/step.py:init_stats) and the
+        host reads them back only once per `log_intervals` steps, so step
+        dispatch stays asynchronous and the prefetch queue actually overlaps.
+        Consequence vs the reference's per-batch check (trainer.py:119-150):
+        the 10-consecutive-NaN abort fires at the next log boundary (bad steps
+        are no-op updates in between), up to log_intervals-1 steps late."""
+        from impx.train.step import init_stats
+
         its_per_epoch = getattr(self.args, "its_per_epoch", -1)
         log_intervals = getattr(self.args, "log_intervals", 50)
-        losses, n_bad = [], 0
+        stats = init_stats()
+        loss_sum, n_good = 0.0, 0
 
+        def sync_interval(metrics, stats):
+            """One host sync: returns (interval mean loss, good count,
+            max consecutive bad) and logs."""
+            s = {k: float(v) for k, v in stats.items()}
+            mean_loss = s["loss_sum"] / max(s["n_good"], 1.0)
+            acc_c = float(metrics["acc_corr"])
+            acc_i = float(metrics["acc_incorr"])
+            self.writer.text(
+                f"Epoch [{self.epoch}/{self.args.epochs}] Step [{bidx}/{self.iteration}] "
+                f"Loss [{mean_loss:.3f}] MS [{float(metrics['max_mscore']):.2f}] "
+                f"Acc [c{acc_c:.1f} n{acc_i:.1f}] lr {float(metrics['lr']):.2e}")
+            self.writer.write(self.iteration, {
+                "interval_mean_loss": mean_loss,
+                **{k: float(v) for k, v in metrics.items() if k != "bad_loss"}})
+            return mean_loss, s["n_good"], s["max_consec_bad"]
+
+        metrics = None
         for bidx, batch in enumerate(self._batches()):
             if 0 <= its_per_epoch <= bidx:
                 break
-            params, opt_state, metrics = self.step_fn(
-                params, opt_state, jnp.asarray(self.iteration), batch)
+            params, opt_state, metrics, stats = self.step_fn(
+                params, opt_state, jnp.asarray(self.iteration), batch, stats)
             self.iteration += 1
 
-            if int(metrics["bad_loss"]) > 0:
-                n_bad += 1
-                self.writer.text(f"Loss is INF/NAN ({n_bad}/10)")
-                if n_bad >= 10:
-                    self.writer.text("Abort epoch: 10 consecutive INF/NAN losses")
+            if (bidx + 1) % log_intervals == 0:
+                mean_loss, good, max_bad = sync_interval(metrics, stats)
+                if max_bad >= 10:
+                    self.writer.text(
+                        "Abort epoch: >=10 consecutive INF/NAN losses")
                     return params, opt_state, None
-                continue
-            n_bad = 0
-            loss = float(metrics["loss"])
-            losses.append(loss)
+                if max_bad > 0:
+                    self.writer.text(
+                        f"Loss was INF/NAN on {log_intervals - int(good)} "
+                        f"steps this interval (max consecutive {int(max_bad)})")
+                loss_sum += mean_loss * good
+                n_good += good
+                stats = init_stats()
 
-            if bidx % log_intervals == 0:
-                acc_c = float(metrics["acc_corr"])
-                acc_i = float(metrics["acc_incorr"])
-                self.writer.text(
-                    f"Epoch [{self.epoch}/{self.args.epochs}] Step [{bidx}/{self.iteration}] "
-                    f"Loss [{loss:.3f}] MS [{float(metrics['max_mscore']):.2f}] "
-                    f"Acc [c{acc_c:.1f} n{acc_i:.1f}] lr {float(metrics['lr']):.2e}")
-                self.writer.write(self.iteration, {
-                    k: float(v) for k, v in metrics.items() if k != "bad_loss"})
-        return params, opt_state, (float(np.mean(losses)) if losses else None)
+        if metrics is not None and jnp.asarray(stats["n_good"]).size:  # tail
+            s = {k: float(v) for k, v in stats.items()}
+            if s["max_consec_bad"] >= 10:
+                self.writer.text("Abort epoch: >=10 consecutive INF/NAN losses")
+                return params, opt_state, None
+            loss_sum += s["loss_sum"]
+            n_good += s["n_good"]
+        return params, opt_state, (loss_sum / n_good if n_good else None)
 
     def train(self, params, opt_state=None):
         if opt_state is None:

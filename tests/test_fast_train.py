@@ -42,7 +42,8 @@ def test_forward_train_scan_matches_unrolled():
 
 
 def test_forward_train_scan_learns():
-    from impx.train.step import TrainHyperParams, make_train_step, make_optimizer
+    from impx.train.step import (TrainHyperParams, make_train_step,
+                                 make_optimizer, init_stats)
 
     cfg = MatcherConfig(descriptor_dim=32, keypoint_encoder=(16, 32), n_layers=2,
                         sinkhorn_iterations=10, norm_fn="in", attn_impl="pallas")
@@ -54,7 +55,7 @@ def test_forward_train_scan_learns():
     batch = _batch(n=8)
     losses = []
     for it in range(40):
-        params, opt, m = step(params, opt, jnp.asarray(it), batch)
+        params, opt, m, _ = step(params, opt, jnp.asarray(it), batch, init_stats())
         losses.append(float(m["loss"]))
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0] * 0.8, (losses[0], losses[-1])

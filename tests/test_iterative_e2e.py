@@ -10,7 +10,8 @@ import jax.numpy as jnp
 from impx.models import MatcherConfig, DGNNS
 from impx.data.synthetic import synthesize_pair
 from impx.data.megadepth import SyntheticMegadepth
-from impx.train.step import TrainHyperParams, make_train_step, make_optimizer
+from impx.train.step import (TrainHyperParams, make_train_step, make_optimizer,
+                             init_stats)
 from impx.eval.iterative import IterativeMatcher
 from impx import geometry as G
 
@@ -36,8 +37,8 @@ def trained_model():
         batches.append({k: jnp.asarray(np.stack([s[k] for s in samples]).astype(np.float32))
                         for k in samples[0] if isinstance(samples[0][k], np.ndarray)})
     for it in range(300):
-        params, opt_state, metrics = step(params, opt_state, jnp.asarray(it),
-                                          batches[it % len(batches)])
+        params, opt_state, metrics, _ = step(params, opt_state, jnp.asarray(it),
+                                             batches[it % len(batches)], init_stats())
     assert float(metrics["acc_corr"]) > 20, float(metrics["acc_corr"])
     return model, params
 

@@ -10,7 +10,8 @@ import jax.numpy as jnp
 from impx.models import MatcherConfig, GM, DGNNS
 from impx.data.megadepth import SyntheticMegadepth
 from impx.parallel.mesh import make_mesh, shard_batch, replicate
-from impx.train.step import TrainHyperParams, make_train_step, make_optimizer, lr_at
+from impx.train.step import (TrainHyperParams, make_train_step, make_optimizer,
+                             lr_at, init_stats)
 
 
 def _tiny_model(network="gm", n_layers=2, dim=32):
@@ -41,7 +42,8 @@ def test_training_learns():
     losses = []
     accs = []
     for it in range(60):
-        params, opt_state, metrics = step(params, opt_state, jnp.asarray(it), batch)
+        params, opt_state, metrics, _ = step(params, opt_state, jnp.asarray(it),
+                                             batch, init_stats())
         losses.append(float(metrics["loss"]))
         accs.append(float(metrics["acc_corr"]))
     assert np.isfinite(losses).all()
@@ -60,8 +62,9 @@ def test_training_step_sharded_8dev():
 
     batch_np = _batch(np.random.RandomState(1), 8)
     # single device
-    p1, _, m1 = step(params, opt_state, jnp.asarray(0),
-                     {k: jnp.asarray(v) for k, v in batch_np.items()})
+    p1, _, m1, _ = step(params, opt_state, jnp.asarray(0),
+                        {k: jnp.asarray(v) for k, v in batch_np.items()},
+                        init_stats())
 
     mesh = make_mesh()
     assert mesh.devices.size == 8
@@ -69,7 +72,7 @@ def test_training_step_sharded_8dev():
         p_r = replicate(mesh, params)
         o_r = replicate(mesh, opt_state)
         sharded = shard_batch(mesh, batch_np)
-        p2, _, m2 = step(p_r, o_r, jnp.asarray(0), sharded)
+        p2, _, m2, _ = step(p_r, o_r, jnp.asarray(0), sharded, init_stats())
     np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-4)
     # updated params agree between replicated-sharded and single-device
     l1 = jax.tree.leaves(p1)
@@ -90,8 +93,10 @@ def test_nan_guard():
 
     batch = {k: jnp.asarray(v) for k, v in _batch(np.random.RandomState(2), 2).items()}
     bad = dict(batch, descriptors0=batch["descriptors0"] * jnp.nan)
-    p2, _, metrics = step(params, opt_state, jnp.asarray(0), bad)
+    p2, _, metrics, stats = step(params, opt_state, jnp.asarray(0), bad,
+                                 init_stats())
     assert int(metrics["bad_loss"]) == 1
+    assert float(stats["consec_bad"]) == 1.0
     for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(p2)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
