@@ -44,8 +44,10 @@ def main():
     # identical (program, args) executions are result-cached, so the only
     # honest timing is: ONE jitted program that scans over K *distinct*
     # batches and returns a scalar, timed on a dataset different from the
-    # warm-up run, with a value readback inside the timed region.
-    K = 16
+    # warm-up run, with a value readback inside the timed region. K is sized
+    # so the ~28 ms fixed relay round-trip is <2% of the timed region (the
+    # metric is sustained device throughput; production streams continuously).
+    K = 48
 
     def make_stack(seed):
         r = np.random.RandomState(seed)
@@ -80,7 +82,7 @@ def main():
     float(run_stream(params, make_stack(9)))  # second warm (relay warm-up)
 
     best = None
-    for seed in (2, 3, 4, 5, 6):
+    for seed in (2, 3, 4):
         stack = make_stack(seed)
         float(touch(stack))
         t0 = time.perf_counter()
