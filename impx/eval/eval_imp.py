@@ -49,6 +49,11 @@ parser.add_argument("--compute_dtype", type=str, default="float32",
                     choices=["float32", "bfloat16"])
 parser.add_argument("--eval_batch", type=int, default=4,
                     help="pairs per device call on the non-iterative path")
+parser.add_argument("--compaction", type=str, default="",
+                    help="EIMP bucketed compaction schedule 'it:bucket[,it:bucket]' "
+                         "(e.g. '4:1024'): physically gather survivors into "
+                         "smaller buckets so attention/Sinkhorn cost shrinks "
+                         "(pallas fast path only)")
 
 # reference weight-name table (eval/eval_imp.py:274-329)
 WEIGHT_TABLE = {
@@ -73,14 +78,22 @@ def _normalize_intrinsic_np(x, K):
     return (x - K[:2, 2]) / np.array([K[0, 0], K[1, 1]])
 
 
+def parse_compaction(spec: str) -> tuple:
+    """'4:1024,8:512' -> ((4, 1024), (8, 512))."""
+    if not spec:
+        return ()
+    return tuple(tuple(int(v) for v in part.split(":")) for part in spec.split(","))
+
+
 def build_model(matching_method: str, feature: str, use_sinkhorn: bool = True,
                 n_layers: int = 15, attn_impl: str = "xla",
-                compute_dtype: str = "float32"):
+                compute_dtype: str = "float32", compaction: tuple = ()):
     import dataclasses
 
     cfg = MatcherConfig.eval_config(feature, n_layers=n_layers)
     cfg = dataclasses.replace(cfg, with_sinkhorn=use_sinkhorn,
-                              attn_impl=attn_impl, compute_dtype=compute_dtype)
+                              attn_impl=attn_impl, compute_dtype=compute_dtype,
+                              compaction=tuple(compaction))
     if matching_method.startswith("EIMP"):
         return AdaGMN(cfg)
     return DGNNS(cfg)
@@ -335,7 +348,8 @@ def main():
 
     model = build_model(args.matching_method, feat,
                         use_sinkhorn=not args.use_dual_softmax,
-                        attn_impl=args.attn_impl, compute_dtype=args.compute_dtype)
+                        attn_impl=args.attn_impl, compute_dtype=args.compute_dtype,
+                        compaction=parse_compaction(args.compaction))
     weight_file = args.weight_path or osp.join(
         args.weight_root, WEIGHT_TABLE[args.matching_method][feat][args.dataset])
     params = load_params(model, weight_file)

@@ -214,12 +214,15 @@ class AdaGMN(DGNNS):
                         with_scores: bool = True, **_):
         """Reference adgm.py:327-526 (eval path)."""
         if self.config.attn_impl == "pallas" and self.config.norm_fn == "in":
-            from impx.models.fast import forward_scan_eimp, stack_params
+            from impx.models.fast import (
+                forward_scan_eimp, forward_scan_eimp_compact, stack_params)
 
             stacked = stack_params(params, self.config)
-            return forward_scan_eimp(self, stacked, data, p=p, mscore_th=mscore_th,
-                                     uncertainty_ratio=uncertainty_ratio,
-                                     only_last=only_last, with_scores=with_scores)
+            fwd = (forward_scan_eimp_compact if self.config.compaction
+                   else forward_scan_eimp)
+            return fwd(self, stacked, data, p=p, mscore_th=mscore_th,
+                       uncertainty_ratio=uncertainty_ratio,
+                       only_last=only_last, with_scores=with_scores)
         all_scores, all_idx0, all_ms0, _, keeps = self._iterate(
             params, data, p, mscore_th, uncertainty_ratio)
         if only_last:

@@ -24,6 +24,13 @@ class MatcherConfig:
     n_min_tokens: int = 256
     # EIMP
     first_it_to_update: int = 2
+    # EIMP bucketed compaction (scan fast path): ((iteration, bucket), ...) —
+    # before `iteration`, physically gather both images' keypoint sets into
+    # `bucket` slots (survivor masks + global-id tracking; reference
+    # adgm.py:212-215 gids semantics). Empty = mask-only pooling (no FLOP
+    # savings). Shrinks the O(N^2) attention/Sinkhorn cost like the
+    # reference's dynamic slicing, at XLA-static shapes.
+    compaction: tuple = ()
     # compute dtype for the attention einsums ('float32' | 'bfloat16')
     compute_dtype: str = "float32"
     # attention implementation: 'xla' (materializes probs; differentiable) or

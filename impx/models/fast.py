@@ -329,81 +329,34 @@ def forward_train_scan(model, stacked: dict, data: dict[str, Any]):
     }
 
 
-def forward_scan_eimp(
-    model,
-    stacked: dict,
-    data: dict[str, Any],
-    p: float = 0.2,
-    mscore_th: float = 0.1,
-    uncertainty_ratio: float = 1.0,
-    only_last: bool = False,
-    with_scores: bool = True,
-):
-    """AdaGMN produce_matches on the scan fast path: per-iteration Sinkhorn +
-    matches inside the body, adaptive pooling on updating iterations via the
-    attention column-mass kernel (probabilities never materialize). With the
-    fused Sinkhorn kernel, matches and pooling masses come straight from the
-    kernel stats — no [B,N+1,M+1] plan ever reaches HBM (with_scores=True
-    rebuilds only the last iteration's plan in one pass).
-
-    Mass bookkeeping on the stacked batch: the self qk-state gives key masses
-    [m00; m11] for rows [0:B; B:2B]; the cross state (source swapped) gives
-    [m10; m01] — exactly the four statistics of reference adgm.py:424-432.
-    """
+def _eimp_make_body(model, stacked, b, p, mscore_th, uncertainty_ratio,
+                    interpret, compute_dtype):
+    """Scan body shared by the mask-only and bucket-compacted EIMP paths:
+    self+cross attention under the current keep masks, fused Sinkhorn ->
+    matches + pooling masses, conditional pooling. Shapes are taken from the
+    carry, so the same body serves every compaction bucket size."""
     from impx.ops.matching import matches_from_stats
     from impx.ops.pallas.attention import attention_key_mass
-    from impx.ops.pallas.sinkhorn import (
-        sinkhorn_fused_stats, sinkhorn_plan_from_uv)
+    from impx.ops.pallas.sinkhorn import sinkhorn_fused_stats
 
     cfg = model.config
-    assert cfg.norm_fn == "in"
-    interpret = _interpret()
-    compute_dtype = model.compute_dtype
-
-    valid0 = data.get("valid0")
-    valid1 = data.get("valid1")
-    b, n = data["descriptors0"].shape[:2]
-    if valid0 is None:
-        valid0 = jnp.ones((b, n), bool)
-    if valid1 is None:
-        valid1 = jnp.ones((b, data["descriptors1"].shape[1]), bool)
-    assert data["descriptors1"].shape[1] == n, "EIMP scan path expects equal buckets"
-
-    enc0, _ = model.encode_keypoint(
-        {"kenc": stacked["kenc"]}, data["norm_keypoints0"], data["scores0"], valid0)
-    enc1, _ = model.encode_keypoint(
-        {"kenc": stacked["kenc"]}, data["norm_keypoints1"], data["scores1"], valid1)
-    desc = jnp.concatenate([data["descriptors0"] + enc0, data["descriptors1"] + enc1], axis=0)
-    if compute_dtype is not None:
-        desc = desc.astype(compute_dtype)
-
-    h = cfg.num_heads
-    dh = cfg.descriptor_dim // h
-    zero_qk = {
-        "q": jnp.zeros((2 * b, h, n, dh), compute_dtype or jnp.float32),
-        "k": jnp.zeros((2 * b, h, n, dh), compute_dtype or jnp.float32),
-    }
-
-    sharing = cfg.sharing_layers(True)
-    do_pool = jnp.asarray([
-        1.0 if (sharing[2 * ni] and ni >= cfg.first_it_to_update) else 0.0
-        for ni in range(cfg.n_layers)], jnp.float32)
 
     def swap(x):
         return jnp.concatenate([x[b:], x[:b]], axis=0)
 
     def body(carry, per_it):
         desc, qk_self, qk_cross, keep0, keep1 = carry
+        n = keep0.shape[1]
         keep = jnp.concatenate([keep0, keep1], axis=0)
         keep_swap = jnp.concatenate([keep1, keep0], axis=0)
 
         delta, qk_self = _attn_block(
             per_it["self"], desc, desc, qk_self, keep, keep,
-            h, cfg.ac_fn, compute_dtype, interpret)
+            cfg.num_heads, cfg.ac_fn, compute_dtype, interpret)
         desc = desc + delta
         delta, qk_cross = _attn_block(
             per_it["cross"], desc, swap(desc), qk_cross, keep_swap, keep,
-            h, cfg.ac_fn, compute_dtype, interpret)
+            cfg.num_heads, cfg.ac_fn, compute_dtype, interpret)
         desc = desc + delta
 
         pl = {"final_proj": [{"w": per_it["final_w"], "b": per_it["final_b"]}],
@@ -451,12 +404,84 @@ def forward_scan_eimp(
         return ((desc, qk_self, qk_cross, keep0, keep1),
                 (idx0, ms0, uv, keep0_used, keep1_used))
 
+    return body
+
+
+def _eimp_encode(model, stacked, data):
+    """Shared input encoding for the EIMP scan paths. Returns
+    (desc [2B,N,D], keep0, keep1, zero_qk, b, n)."""
+    cfg = model.config
+    compute_dtype = model.compute_dtype
+    valid0 = data.get("valid0")
+    valid1 = data.get("valid1")
+    b, n = data["descriptors0"].shape[:2]
+    if valid0 is None:
+        valid0 = jnp.ones((b, n), bool)
+    if valid1 is None:
+        valid1 = jnp.ones((b, data["descriptors1"].shape[1]), bool)
+    assert data["descriptors1"].shape[1] == n, "EIMP scan path expects equal buckets"
+
+    enc0, _ = model.encode_keypoint(
+        {"kenc": stacked["kenc"]}, data["norm_keypoints0"], data["scores0"], valid0)
+    enc1, _ = model.encode_keypoint(
+        {"kenc": stacked["kenc"]}, data["norm_keypoints1"], data["scores1"], valid1)
+    desc = jnp.concatenate([data["descriptors0"] + enc0,
+                            data["descriptors1"] + enc1], axis=0)
+    if compute_dtype is not None:
+        desc = desc.astype(compute_dtype)
+    h = cfg.num_heads
+    dh = cfg.descriptor_dim // h
+    zero_qk = {
+        "q": jnp.zeros((2 * b, h, n, dh), compute_dtype or jnp.float32),
+        "k": jnp.zeros((2 * b, h, n, dh), compute_dtype or jnp.float32),
+    }
+    return desc, valid0, valid1, zero_qk, b, n
+
+
+def _eimp_do_pool(cfg):
+    sharing = cfg.sharing_layers(True)
+    return jnp.asarray([
+        1.0 if (sharing[2 * ni] and ni >= cfg.first_it_to_update) else 0.0
+        for ni in range(cfg.n_layers)], jnp.float32)
+
+
+def forward_scan_eimp(
+    model,
+    stacked: dict,
+    data: dict[str, Any],
+    p: float = 0.2,
+    mscore_th: float = 0.1,
+    uncertainty_ratio: float = 1.0,
+    only_last: bool = False,
+    with_scores: bool = True,
+):
+    """AdaGMN produce_matches on the scan fast path: per-iteration Sinkhorn +
+    matches inside the body, adaptive pooling on updating iterations via the
+    attention column-mass kernel (probabilities never materialize). With the
+    fused Sinkhorn kernel, matches and pooling masses come straight from the
+    kernel stats — no [B,N+1,M+1] plan ever reaches HBM (with_scores=True
+    rebuilds only the last iteration's plan in one pass).
+
+    Mass bookkeeping on the stacked batch: the self qk-state gives key masses
+    [m00; m11] for rows [0:B; B:2B]; the cross state (source swapped) gives
+    [m10; m01] — exactly the four statistics of reference adgm.py:424-432.
+    """
+    from impx.ops.pallas.sinkhorn import sinkhorn_plan_from_uv
+
+    cfg = model.config
+    assert cfg.norm_fn == "in"
+    interpret = _interpret()
+    compute_dtype = model.compute_dtype
+
+    desc, keep0, keep1, zero_qk, b, n = _eimp_encode(model, stacked, data)
+    body = _eimp_make_body(model, stacked, b, p, mscore_th, uncertainty_ratio,
+                           interpret, compute_dtype)
     per_it = {
         "self": stacked["self"], "cross": stacked["cross"],
         "final_w": stacked["final_w"], "final_b": stacked["final_b"],
-        "do_pool": do_pool,
+        "do_pool": _eimp_do_pool(cfg),
     }
-    carry0 = (desc, zero_qk, zero_qk, valid0, valid1)
+    carry0 = (desc, zero_qk, zero_qk, keep0, keep1)
     (desc, _, _, keep0, keep1), (all_idx0, all_ms0, all_uv, k0u, k1u) = \
         jax.lax.scan(body, carry0, per_it)
 
@@ -485,3 +510,123 @@ def forward_scan_eimp(
             "indices0": [all_idx0[i] for i in range(nI)],
             "mscores0": [all_ms0[i] for i in range(nI)],
             "keep0": keep0, "keep1": keep1}
+
+
+# --------------------------------------------------------------------------
+# EIMP bucketed compaction: the pooling masks physically shrink the problem.
+
+def _stable_topk_indices(keep, k):
+    """Indices of the first k slots ordered (kept first, original order within
+    class) — the gathered set always contains every survivor when
+    #survivors <= k, so downstream masked computation is exactly the
+    mask-only path restricted to a superset of the survivors."""
+    n = keep.shape[1]
+    rank = keep.astype(jnp.float32) - \
+        jnp.arange(n, dtype=jnp.float32)[None] / (2.0 * n)
+    _, idx = jax.lax.top_k(rank, k)
+    return idx.astype(jnp.int32)
+
+
+def _compact_gather(desc, qk_self, qk_cross, keep0, keep1, g0, g1, b, k):
+    """Gather both images' keypoint sets into k slots (reference adgm.py's
+    dynamic slicing, static-shape version; gids track original indices,
+    adgm.py:212-215)."""
+    i0 = _stable_topk_indices(keep0, k)
+    i1 = _stable_topk_indices(keep1, k)
+    take = lambda x, i: jnp.take_along_axis(x, i, axis=1)
+    d0 = jnp.take_along_axis(desc[:b], i0[:, :, None], axis=1)
+    d1 = jnp.take_along_axis(desc[b:], i1[:, :, None], axis=1)
+
+    def gather_qk(t):  # [2B, H, n, dh] -> [2B, H, k, dh]
+        a = jnp.take_along_axis(t[:b], i0[:, None, :, None], axis=2)
+        c = jnp.take_along_axis(t[b:], i1[:, None, :, None], axis=2)
+        return jnp.concatenate([a, c], axis=0)
+
+    return (jnp.concatenate([d0, d1], axis=0),
+            jax.tree.map(gather_qk, qk_self),
+            jax.tree.map(gather_qk, qk_cross),
+            take(keep0, i0), take(keep1, i1),
+            take(g0, i0), take(g1, i1))
+
+
+def _scatter_matches(idx_local, ms_local, g0, g1, n_orig):
+    """Map segment-local matches back to original keypoint indexing."""
+    bsz, k = idx_local.shape
+    tgt = jnp.where(
+        idx_local >= 0,
+        jnp.take_along_axis(g1, jnp.clip(idx_local, 0, k - 1), axis=1), -1)
+    rows = jnp.arange(bsz)[:, None]
+    out_idx = jnp.full((bsz, n_orig), -1, jnp.int32).at[rows, g0].set(tgt)
+    out_ms = jnp.zeros((bsz, n_orig), ms_local.dtype).at[rows, g0].set(ms_local)
+    return out_idx, out_ms
+
+
+def forward_scan_eimp_compact(
+    model,
+    stacked: dict,
+    data: dict[str, Any],
+    p: float = 0.2,
+    mscore_th: float = 0.1,
+    uncertainty_ratio: float = 1.0,
+    only_last: bool = False,
+    **_,
+):
+    """EIMP with REAL FLOP savings: runs the iteration scan in segments, and
+    at each configured (iteration, bucket) point gathers the surviving
+    keypoints of both images into the smaller bucket, so attention and
+    Sinkhorn costs shrink like the reference's dynamic slicing
+    (reference adgm.py:463-506, eval/matching.py:166-174) while every segment
+    stays XLA-static. Matches are emitted in ORIGINAL keypoint indexing via
+    carried global ids. When the survivor count fits the bucket, outputs are
+    identical to the mask-only path (tests/test_eimp_compact.py); overflow
+    drops the highest-index survivors (deterministic).
+
+    The transport plan is never materialized on this path ('scores' is
+    [None]); eval consumers use indices0/mscores0.
+    """
+    cfg = model.config
+    assert cfg.norm_fn == "in"
+    assert cfg.compaction, "forward_scan_eimp_compact needs cfg.compaction"
+    interpret = _interpret()
+    compute_dtype = model.compute_dtype
+
+    desc, keep0, keep1, zero_qk, b, n = _eimp_encode(model, stacked, data)
+    body = _eimp_make_body(model, stacked, b, p, mscore_th, uncertainty_ratio,
+                           interpret, compute_dtype)
+    per_it_full = {
+        "self": stacked["self"], "cross": stacked["cross"],
+        "final_w": stacked["final_w"], "final_b": stacked["final_b"],
+        "do_pool": _eimp_do_pool(cfg),
+    }
+
+    schedule = sorted((int(it), int(k)) for it, k in cfg.compaction)
+    assert all(0 < it < cfg.n_layers for it, _ in schedule), schedule
+    bounds = [0] + [it for it, _ in schedule] + [cfg.n_layers]
+    buckets = [n] + [k for _, k in schedule]
+    assert all(buckets[i] >= buckets[i + 1] for i in range(len(buckets) - 1)), \
+        ("compaction buckets must be non-increasing", buckets)
+
+    g0 = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[None], (b, n))
+    g1 = g0
+    qk_self = qk_cross = zero_qk
+    outs = []  # (idx_orig [B, n], ms_orig [B, n]) per iteration
+    for si in range(len(bounds) - 1):
+        if si > 0:
+            desc, qk_self, qk_cross, keep0, keep1, g0, g1 = _compact_gather(
+                desc, qk_self, qk_cross, keep0, keep1, g0, g1, b, buckets[si])
+        per_it = jax.tree.map(lambda x: x[bounds[si]:bounds[si + 1]], per_it_full)
+        carry = (desc, qk_self, qk_cross, keep0, keep1)
+        (desc, qk_self, qk_cross, keep0, keep1), (idx0s, ms0s, _, _, _) = \
+            jax.lax.scan(body, carry, per_it)
+        for j in range(bounds[si + 1] - bounds[si]):
+            outs.append(_scatter_matches(idx0s[j], ms0s[j], g0, g1, n))
+
+    rows = jnp.arange(b)[:, None]
+    keep0_orig = jnp.zeros((b, n), bool).at[rows, g0].set(keep0)
+    keep1_orig = jnp.zeros((b, n), bool).at[rows, g1].set(keep1)
+
+    picked = outs[-1:] if only_last else outs
+    return {"scores": [None],
+            "indices0": [o[0] for o in picked],
+            "mscores0": [o[1] for o in picked],
+            "keep0": keep0_orig, "keep1": keep1_orig}

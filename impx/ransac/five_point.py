@@ -1,0 +1,258 @@
+"""Batched Nistér 5-point minimal solver for the essential matrix (TPU).
+
+Replaces the 5-point solver inside cv2.findEssentialMat(USAC_MAGSAC)
+(reference eval/pose_estimation.py:96-105) with a fixed-shape, fully batched
+jnp implementation so minimal-solver hypotheses can be generated on device
+inside RANSAC (impx/ransac/ransac.py) — including inside the iterative
+match<->pose loop.
+
+Derivation (Nistér, "An efficient solution to the five-point relative pose
+problem", PAMI 2004 — re-derived here symbolically, no ported code):
+
+  1. The 5 epipolar constraints x1ᵀ E x0 = 0 give a 5x9 system; its 4-dim
+     null space {X, Y, Z, W} parameterizes E = x·X + y·Y + z·Z + W.
+  2. det(E) = 0 and the trace constraint 2·E·Eᵀ·E − tr(E·Eᵀ)·E = 0 yield 10
+     cubic polynomial equations in (x, y, z). The polynomial expansion is
+     performed SYMBOLICALLY AT TRACE TIME over monomial dictionaries whose
+     coefficients are batched jnp arrays — so there is no hand-maintained
+     10x20 coefficient table.
+  3. Gauss-Jordan elimination (a batched 10x10 solve) expresses the 10
+     monomials containing x², y², xy in terms of the remaining 10; pairing
+     z-shifted rows gives 3 equations  x·pxᵣ(z) + y·pyᵣ(z) + p1ᵣ(z) = 0 with
+     deg(px, py) = 3, deg(p1) = 4; a non-trivial (x, y, 1) solution requires
+     det = 0 — a degree-10 polynomial n(z).
+  4. Real roots of n are isolated on the tangent-projective grid
+     z = tan(θ), g(θ) = n(tan θ)·cos¹⁰θ (polynomial in sin/cos, no overflow
+     at large |z|), then polished by bisection — fixed-shape, no
+     eigendecomposition (TPU has no nonsymmetric eig).
+  5. (x, y) per root by least squares on the 3x2 system; E assembled from the
+     null-space basis.
+
+Returns up to R=10 candidate essential matrices per problem with a validity
+mask; degenerate samples yield masked slots (callers score-and-max over
+hypotheses, so invalid slots simply never win).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+# monomial order: all 20 monomials of total degree <= 3 in (x, y, z).
+# LEFT: the 10 containing x², y² or xy (eliminated); RIGHT: the rest.
+_LEFT = [(3, 0, 0), (0, 3, 0), (2, 1, 0), (1, 2, 0), (2, 0, 1),
+         (2, 0, 0), (0, 2, 1), (0, 2, 0), (1, 1, 1), (1, 1, 0)]
+_RIGHT = [(1, 0, 2), (1, 0, 1), (1, 0, 0), (0, 1, 2), (0, 1, 1),
+          (0, 1, 0), (0, 0, 3), (0, 0, 2), (0, 0, 1), (0, 0, 0)]
+# row indices (into the equation list after G-J) used for the z-pairing:
+# LEFT[4] = x²z, LEFT[5] = x²; LEFT[6] = y²z, LEFT[7] = y²;
+# LEFT[8] = xyz, LEFT[9] = xy.
+
+MAX_ROOTS = 10
+
+
+def _pmul(p: dict, q: dict) -> dict:
+    out: dict = {}
+    for m1, c1 in p.items():
+        for m2, c2 in q.items():
+            m = (m1[0] + m2[0], m1[1] + m2[1], m1[2] + m2[2])
+            out[m] = out[m] + c1 * c2 if m in out else c1 * c2
+    return out
+
+
+def _padd(p: dict, q: dict, sq: float = 1.0) -> dict:
+    out = dict(p)
+    for m, c in q.items():
+        out[m] = out[m] + sq * c if m in out else sq * c
+    return out
+
+
+def _null_basis(x0: jax.Array, x1: jax.Array):
+    """Null-space basis of the 5x9 epipolar system (x1ᵀ E x0 row layout:
+    E flattened row-major, constraint rows kron(x1h, x0h))."""
+    ones = jnp.ones(x0.shape[:-1] + (1,), x0.dtype)
+    p0 = jnp.concatenate([x0, ones], axis=-1)  # [..., 5, 3]
+    p1 = jnp.concatenate([x1, ones], axis=-1)
+    # A[..., i, 3*r+c] = p1[i, r] * p0[i, c]
+    A = (p1[..., :, :, None] * p0[..., :, None, :]).reshape(*x0.shape[:-2], 5, 9)
+    _, _, vt = jnp.linalg.svd(A, full_matrices=True)
+    basis = vt[..., 5:9, :]                      # [..., 4, 9]
+    return basis.reshape(*basis.shape[:-1], 3, 3)  # [..., 4, 3, 3] = X, Y, Z, W
+
+
+def _equations(basis: jax.Array) -> list[dict]:
+    """The 10 cubic equations as monomial dicts with batched coefficients."""
+    X, Y, Z, W = (basis[..., i, :, :] for i in range(4))
+
+    def lin(i, j):  # E[i][j] as a degree-1 polynomial
+        return {(1, 0, 0): X[..., i, j], (0, 1, 0): Y[..., i, j],
+                (0, 0, 1): Z[..., i, j], (0, 0, 0): W[..., i, j]}
+
+    E = [[lin(i, j) for j in range(3)] for i in range(3)]
+
+    def det3(M):
+        t0 = _pmul(M[0][0], _padd(_pmul(M[1][1], M[2][2]),
+                                  _pmul(M[1][2], M[2][1]), -1.0))
+        t1 = _pmul(M[0][1], _padd(_pmul(M[1][0], M[2][2]),
+                                  _pmul(M[1][2], M[2][0]), -1.0))
+        t2 = _pmul(M[0][2], _padd(_pmul(M[1][0], M[2][1]),
+                                  _pmul(M[1][1], M[2][0]), -1.0))
+        return _padd(_padd(t0, t1, -1.0), t2)
+
+    EEt = [[None] * 3 for _ in range(3)]
+    for i in range(3):
+        for j in range(3):
+            acc: dict = {}
+            for k in range(3):
+                acc = _padd(acc, _pmul(E[i][k], E[j][k]))
+            EEt[i][j] = acc
+    trace = _padd(_padd(EEt[0][0], EEt[1][1]), EEt[2][2])
+
+    eqs = [det3(E)]
+    for i in range(3):
+        for j in range(3):
+            acc = {}
+            for k in range(3):
+                acc = _padd(acc, _pmul(EEt[i][k], E[k][j]))
+            entry = _padd({m: 2.0 * c for m, c in acc.items()},
+                          _pmul(trace, E[i][j]), -1.0)
+            eqs.append(entry)
+    return eqs
+
+
+def _pconv(a: jax.Array, b: jax.Array) -> jax.Array:
+    """1-D polynomial product on trailing coeff axes (ascending powers),
+    static loops (sizes <= 11)."""
+    da, db = a.shape[-1], b.shape[-1]
+    out = [0.0] * (da + db - 1)
+    for i in range(da):
+        for j in range(db):
+            out[i + j] = out[i + j] + a[..., i] * b[..., j]
+    return jnp.stack(out, axis=-1)
+
+
+def _polyval(c: jax.Array, z: jax.Array) -> jax.Array:
+    """Horner on ascending coeffs; c [..., D], z [...]."""
+    out = c[..., -1]
+    for k in range(c.shape[-1] - 2, -1, -1):
+        out = out * z + c[..., k]
+    return out
+
+
+@partial(jax.jit, static_argnames=("grid",))
+def solve_essential_5pt(x0: jax.Array, x1: jax.Array, grid: int = 512):
+    """x0, x1: [..., 5, 2] normalized image points. Returns
+    (E [..., MAX_ROOTS, 3, 3], valid [..., MAX_ROOTS] bool)."""
+    dt = jnp.float32
+    x0 = x0.astype(dt)
+    x1 = x1.astype(dt)
+    basis = _null_basis(x0, x1)                    # [..., 4, 3, 3]
+    eqs = _equations(basis)
+    batch = basis.shape[:-3]
+
+    zero = jnp.zeros(batch, dt)
+    A = jnp.stack([jnp.stack([eq.get(m, zero) for m in _LEFT], axis=-1)
+                   for eq in eqs], axis=-2)        # [..., 10, 10]
+    Bm = jnp.stack([jnp.stack([eq.get(m, zero) for m in _RIGHT], axis=-1)
+                    for eq in eqs], axis=-2)       # [..., 10, 10]
+    # guard singular systems (degenerate samples): solve on a regularized A,
+    # mark the whole problem invalid if badly conditioned
+    C = jnp.linalg.solve(A + 1e-12 * jnp.eye(10, dtype=dt), Bm)
+    finite = jnp.all(jnp.isfinite(C), axis=(-1, -2))
+
+    def zrow(u, v):
+        """row u - z·row v over RIGHT monomials -> (px[4], py[4], p1[5])
+        ascending z-power coeffs of x·px(z) + y·py(z) + p1(z)."""
+        px = jnp.stack([u[..., 2], u[..., 1] - v[..., 2],
+                        u[..., 0] - v[..., 1], -v[..., 0]], axis=-1)
+        py = jnp.stack([u[..., 5], u[..., 4] - v[..., 5],
+                        u[..., 3] - v[..., 4], -v[..., 3]], axis=-1)
+        p1 = jnp.stack([u[..., 9], u[..., 8] - v[..., 9],
+                        u[..., 7] - v[..., 8], u[..., 6] - v[..., 7],
+                        -v[..., 6]], axis=-1)
+        return px, py, p1
+
+    rows = [zrow(C[..., 4, :], C[..., 5, :]),   # z·(x²) − (x²z)
+            zrow(C[..., 6, :], C[..., 7, :]),   # z·(y²) − (y²z)
+            zrow(C[..., 8, :], C[..., 9, :])]   # z·(xy) − (xyz)
+
+    (px1, py1, p11), (px2, py2, p12), (px3, py3, p13) = rows
+    # det of the 3x3 polynomial matrix -> degree-10 polynomial n(z)
+    n = _pconv(px1, _padd_c(_pconv(py2, p13), _pconv(p12, py3), -1.0))
+    n = n - _pconv(py1, _padd_c(_pconv(px2, p13), _pconv(p12, px3), -1.0))
+    n = n + _pconv(p11, _padd_c(_pconv(px2, py3), _pconv(py2, px3), -1.0))
+    # n: [..., 11] ascending powers
+
+    # ---- real roots on the tangent-projective grid ------------------------
+    eps = 1e-3
+    thetas = jnp.linspace(-jnp.pi / 2 + eps, jnp.pi / 2 - eps, grid).astype(dt)
+    sin_t, cos_t = jnp.sin(thetas), jnp.cos(thetas)
+    # T[k, i] = sin^k(θᵢ) cos^(10−k)(θᵢ)  — g(θ) = Σ n_k T[k]
+    T = jnp.stack([sin_t ** k * cos_t ** (10 - k) for k in range(11)])
+    g = jnp.einsum("...k,ki->...i", n, T)          # [..., G]
+
+    crossing = g[..., :-1] * g[..., 1:] < 0        # [..., G-1]
+    score = jnp.where(crossing, 1.0, -1.0) * 1e6 - \
+        jnp.arange(grid - 1, dtype=dt)
+    _, slots = jax.lax.top_k(score, MAX_ROOTS)     # [..., R] interval ids
+    has_root = jnp.take_along_axis(crossing, slots, axis=-1) & finite[..., None]
+
+    lo = thetas[slots]
+    hi = thetas[slots + 1]
+    g_lo = jnp.take_along_axis(g, slots, axis=-1)
+
+    def geval(theta):
+        s, c = jnp.sin(theta), jnp.cos(theta)
+        out = jnp.zeros_like(theta)
+        for k in range(11):
+            out = out + n[..., k, None] * s ** k * c ** (10 - k)
+        return out
+
+    def bisect(_, carry):
+        lo, hi, g_lo = carry
+        mid = 0.5 * (lo + hi)
+        g_mid = geval(mid)
+        left = g_lo * g_mid > 0
+        return (jnp.where(left, mid, lo), jnp.where(left, hi, mid),
+                jnp.where(left, g_mid, g_lo))
+
+    lo, hi, _ = jax.lax.fori_loop(0, 45, bisect, (lo, hi, g_lo))
+    z = jnp.tan(0.5 * (lo + hi))                   # [..., R]
+
+    # ---- back-substitute (x, y) per root via 3x2 least squares -------------
+    def pv(c):
+        return _polyval(c[..., None, :], z)        # broadcast over roots
+
+    M = jnp.stack([jnp.stack([pv(px1), pv(py1)], axis=-1),
+                   jnp.stack([pv(px2), pv(py2)], axis=-1),
+                   jnp.stack([pv(px3), pv(py3)], axis=-1)], axis=-2)  # [...,R,3,2]
+    rhs = -jnp.stack([pv(p11), pv(p12), pv(p13)], axis=-1)            # [...,R,3]
+    MtM = jnp.einsum("...ri,...rj->...ij", M, M)
+    Mtb = jnp.einsum("...ri,...r->...i", M, rhs)
+    xy = jnp.linalg.solve(MtM + 1e-12 * jnp.eye(2, dtype=dt),
+                          Mtb[..., None])[..., 0]                     # [...,R,2]
+
+    coef = jnp.concatenate([xy, z[..., None],
+                            jnp.ones_like(z)[..., None]], axis=-1)    # x,y,z,1
+    E = jnp.einsum("...rk,...kij->...rij", coef, basis)
+    E = E / (jnp.linalg.norm(E, axis=(-2, -1), keepdims=True) + 1e-12)
+    valid = has_root & jnp.all(jnp.isfinite(E), axis=(-1, -2))
+    E = jnp.where(valid[..., None, None], E, jnp.eye(3, dtype=dt))
+    # project onto the essential manifold (singular values -> (1,1,0)/sqrt 2):
+    # absorbs the fp32 residue of the degree-10 root chain and guarantees a
+    # decomposable E for the cheirality step
+    U, _, Vt = jnp.linalg.svd(E)
+    sigma = jnp.asarray([1.0, 1.0, 0.0], dt) / jnp.sqrt(2.0)
+    E = jnp.einsum("...ij,j,...jk->...ik", U, sigma, Vt)
+    return E, valid
+
+
+def _padd_c(a: jax.Array, b: jax.Array, sb: float = 1.0) -> jax.Array:
+    """Add coefficient arrays of (possibly) different lengths."""
+    la, lb = a.shape[-1], b.shape[-1]
+    if la < lb:
+        a = jnp.concatenate([a, jnp.zeros(a.shape[:-1] + (lb - la,), a.dtype)], -1)
+    elif lb < la:
+        b = jnp.concatenate([b, jnp.zeros(b.shape[:-1] + (la - lb,), b.dtype)], -1)
+    return a + sb * b

@@ -35,7 +35,8 @@ def normalize_pts(pts, K):
     return (np.asarray(pts) - K[:2, 2]) / np.array([K[0, 0], K[1, 1]])
 
 
-@functools.partial(jax.jit, static_argnames=("num_hypotheses", "lo_iterations"))
+@functools.partial(jax.jit, static_argnames=("num_hypotheses", "lo_iterations",
+                                             "sample_size"))
 def estimate_pose_jax(
     key,
     x0n,
@@ -45,14 +46,17 @@ def estimate_pose_jax(
     num_hypotheses: int = 1024,
     lo_iterations: int = 4,
     distance_thresh: float = 1000.0,
+    sample_size: int = 8,
 ):
     """On-device pose. x0n/x1n [N,2] normalized coords, valid [N] bool.
+    sample_size=5 uses the Nistér minimal solver (impx/ransac/five_point.py).
 
     Returns dict(E, R, t, inliers [N] bool, num_inliers). jit-friendly.
     """
     out = estimate_essential_ransac(
         key, x0n, x1n, valid, norm_thresh,
         num_hypotheses=num_hypotheses, lo_iterations=lo_iterations,
+        sample_size=sample_size,
     )
     E = out["E"]
     e_mask = out["inliers"]

@@ -58,14 +58,26 @@ def estimate_essential_ransac(
     """x0, x1: [N, 2] normalized camera coordinates; valid: [N] bool;
     threshold: inlier threshold in normalized coordinates (Sampson).
 
+    sample_size=5 uses the batched Nistér minimal solver (up to 10 candidate
+    E per sample, all scored — matching cv2 USAC's 5-point hypotheses,
+    reference eval/pose_estimation.py:96-105); sample_size>=8 uses the
+    batched 8-point solver.
+
     Returns dict(E [3,3], inliers [N] bool, gain scalar, num_inliers).
     """
     idx = _sample_minimal_sets(key, valid, num_hypotheses, sample_size)  # [H, S]
     sx0 = x0[idx]  # [H, S, 2]
     sx1 = x1[idx]
-    Es = essential_from_points(sx0, sx1)  # [H, 3, 3] (batched eigh inside)
+    if sample_size == 5:
+        from impx.ransac.five_point import solve_essential_5pt
 
-    gains, _, _ = jax.vmap(lambda E: _score(E, x0, x1, valid, threshold))(Es)
+        Es, ok = solve_essential_5pt(sx0, sx1)      # [H, R, 3, 3], [H, R]
+        Es = Es.reshape(-1, 3, 3)
+        gains, _, _ = jax.vmap(lambda E: _score(E, x0, x1, valid, threshold))(Es)
+        gains = jnp.where(ok.reshape(-1), gains, -jnp.inf)
+    else:
+        Es = essential_from_points(sx0, sx1)  # [H, 3, 3] (batched eigh inside)
+        gains, _, _ = jax.vmap(lambda E: _score(E, x0, x1, valid, threshold))(Es)
     best = jnp.argmax(gains)
     E = Es[best]
 

@@ -1,0 +1,98 @@
+"""Batched Nistér 5-point solver (impx/ransac/five_point.py) + its RANSAC
+integration, validated against ground truth and cv2 USAC_MAGSAC on the
+synthetic protocol (impx/eval/pose_study.py). Mirrors the role of
+cv2.findEssentialMat's internal 5-point solver (reference
+eval/pose_estimation.py:96-105)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from impx.ransac.five_point import solve_essential_5pt
+from impx.eval.pose_study import synth_pair, run_backend, pose_auc
+
+
+def _minimal_case(seed):
+    rs = np.random.RandomState(seed)
+    k0, k1, K, R, t = synth_pair(rs, 5, noise_px=0.0, outlier_ratio=0.0)
+    x0 = (k0 - K[:2, 2]) / K[0, 0]
+    x1 = (k1 - K[:2, 2]) / K[0, 0]
+    tx = np.array([[0, -t[2], t[1]], [t[2], 0, -t[0]], [-t[1], t[0], 0]])
+    E_gt = tx @ R
+    return x0, x1, E_gt / np.linalg.norm(E_gt)
+
+
+def test_solver_satisfies_epipolar_constraints():
+    x0s, x1s = [], []
+    for seed in range(8):
+        x0, x1, _ = _minimal_case(seed)
+        x0s.append(x0)
+        x1s.append(x1)
+    E, valid = solve_essential_5pt(jnp.asarray(np.stack(x0s)),
+                                   jnp.asarray(np.stack(x1s)))
+    E, valid = np.asarray(E), np.asarray(valid)
+    assert valid.any(axis=1).all(), "every minimal problem must yield roots"
+    for b in range(8):
+        p0 = np.concatenate([x0s[b], np.ones((5, 1))], 1)
+        p1 = np.concatenate([x1s[b], np.ones((5, 1))], 1)
+        for r in range(E.shape[1]):
+            if not valid[b, r]:
+                continue
+            resid = np.abs(np.einsum("ni,ij,nj->n", p1, E[b, r], p0)).max()
+            # candidates are projected onto the essential manifold inside the
+            # solver, which can move a borderline fp32 root by ~1e-2 (RANSAC
+            # scoring decides which candidates matter)
+            assert resid < 2e-2, (b, r, resid)
+            # essential-matrix property holds exactly after projection
+            s = np.linalg.svd(E[b, r], compute_uv=False)
+            assert s[2] < 1e-5, (b, r, s)
+            np.testing.assert_allclose(s[0], s[1], rtol=1e-5)
+
+
+def test_solver_recovers_ground_truth():
+    hits = 0
+    for seed in range(12):
+        x0, x1, E_gt = _minimal_case(seed)
+        E, valid = solve_essential_5pt(jnp.asarray(x0)[None], jnp.asarray(x1)[None])
+        E, valid = np.asarray(E[0]), np.asarray(valid[0])
+        d = min(
+            min(np.abs(E[r] - E_gt).max(), np.abs(E[r] + E_gt).max())
+            for r in range(len(valid)) if valid[r])
+        hits += d < 5e-3
+    assert hits >= 10, hits  # fp32 degree-10 roots: allow rare borderline
+
+
+def test_ransac_5pt_recovers_pose_with_outliers():
+    rs = np.random.RandomState(3)
+    from impx.ransac.pose_solver import (estimate_pose_jax, normalize_pts,
+                                         _norm_threshold)
+    from impx.eval.pose_study import pose_err
+
+    errs = []
+    for seed in range(4):
+        rs = np.random.RandomState(seed)
+        k0, k1, K, R_gt, t_gt = synth_pair(rs, 200, noise_px=1.0,
+                                           outlier_ratio=0.4)
+        out = estimate_pose_jax(
+            jax.random.PRNGKey(seed),
+            jnp.asarray(normalize_pts(k0, K), jnp.float32),
+            jnp.asarray(normalize_pts(k1, K), jnp.float32),
+            jnp.ones(len(k0), bool), _norm_threshold(1.0, K, K),
+            num_hypotheses=256, sample_size=5)
+        errs.append(pose_err(R_gt, t_gt, np.asarray(out["R"]),
+                             np.asarray(out["t"])))
+    assert np.median(errs) < 3.0, errs
+
+
+@pytest.mark.slow
+def test_study_jax_within_cv2():
+    """Small version of the accuracy study: the jax 5pt backend must be within
+    a few AUC points of cv2 USAC_MAGSAC (full grid: python -m
+    impx.eval.pose_study; results recorded in STATUS.md)."""
+    cv2 = pytest.importorskip("cv2")
+    del cv2
+    rs = np.random.RandomState(0)
+    pairs = [synth_pair(rs, 300, 1.0, 0.3) for _ in range(10)]
+    auc_cv2 = pose_auc(run_backend("cv2", pairs))
+    auc_j5 = pose_auc(run_backend("jax5", pairs, num_hypotheses=512))
+    assert auc_j5[2] > auc_cv2[2] - 8, (auc_j5, auc_cv2)
