@@ -177,6 +177,71 @@ def evaluate(model, params, reader, error_th: float, eval_config: dict, args) ->
     t_start = time.time()
     t_device = 0.0
 
+    if args.use_iterative and getattr(args, "eval_batch", 4) > 1:
+        # batched iterative path: B pairs per program, per-pair convergence
+        # freezing (impx/eval/iterative.py:BatchedIterativeMatcher)
+        from impx.eval.iterative import BatchedIterativeMatcher
+        from impx.ransac.pose_solver import _norm_threshold
+
+        eb = args.eval_batch
+        matcher = None
+        index = 0
+        while index < n_pairs:
+            infos, x0s, x1s, feeds, nts = [], [], [], [], []
+            for _ in range(min(eb, n_pairs - index)):
+                info = reader.run(index)
+                feed, x0, x1 = _pair_feed_np(info, bucket)
+                feed["x0n"] = _normalize_intrinsic_np(x0[:, :2], info["K1"])
+                feed["x1n"] = _normalize_intrinsic_np(x1[:, :2], info["K2"])
+                infos.append(info)
+                x0s.append(x0)
+                x1s.append(x1)
+                feeds.append(feed)
+                nts.append(_norm_threshold(error_th, info["K1"], info["K2"]))
+                index += 1
+            n_real = len(infos)
+            while len(feeds) < eb:  # pad the last batch
+                feeds.append(feeds[-1])
+                nts.append(nts[-1])
+            batch = {k: jnp.asarray(np.stack([f[k] for f in feeds]))
+                     for k in feeds[0]}
+            if matcher is None:
+                matcher = BatchedIterativeMatcher(
+                    model, params, norm_thresh=float(np.mean(nts)),
+                    match_ratio=0.1, min_kpts=25,
+                    with_uncertainty=args.use_uncertainty)
+            t0 = time.time()
+            key, sub = jax.random.split(key)
+            out = matcher.run_batch(batch, sub, np.asarray(nts, np.float32))
+            matches_b = np.asarray(out["indices0"])
+            Rb, tb = np.asarray(out["R"]), np.asarray(out["t"])
+            has_b = np.asarray(out["has_pose"])
+            stops = np.asarray(out["stopped_at"])
+            t_device += time.time() - t0
+            for bi in range(n_real):
+                _score_pair(infos[bi], x0s[bi], x1s[bi], matches_b[bi], bucket,
+                            pose_errors, precisions, matching_scores, error_th,
+                            pred_R=Rb[bi], pred_t=tb[bi],
+                            has_pose=bool(has_b[bi]))
+                stop_its.append(int(stops[bi]))
+            if index % 100 < eb or index >= n_pairs:
+                aucs = [100 * a for a in pose_metrics.pose_auc(pose_errors, thresholds)]
+                print(f"[{index}/{n_pairs}] AUC@5/10/20/50: "
+                      f"{aucs[0]:.2f}/{aucs[1]:.2f}/{aucs[2]:.2f}/{aucs[3]:.2f} "
+                      f"Prec {100 * np.mean(precisions):.2f} "
+                      f"MScore {100 * np.mean(matching_scores):.2f} "
+                      f"stop {np.mean(stop_its):.1f} "
+                      f"({t_device / max(index, 1) * 1000:.1f} ms/pair device)")
+        aucs = [100 * a for a in pose_metrics.pose_auc(pose_errors, thresholds)]
+        return {
+            "auc": dict(zip(thresholds, aucs)),
+            "precision": 100 * float(np.mean(precisions)),
+            "matching_score": 100 * float(np.mean(matching_scores)),
+            "mean_stop_iteration": float(np.mean(stop_its)),
+            "pairs_per_sec_device": (len(pose_errors) / t_device) if t_device > 0 else 0.0,
+            "total_time": time.time() - t_start,
+        }
+
     if not args.use_iterative:
         # batched path: several pairs per device call
         eb = max(1, getattr(args, "eval_batch", 4))

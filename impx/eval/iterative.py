@@ -226,3 +226,137 @@ def matching_iterative_ondevice(model, params, data, key, *, norm_thresh,
                          pose_stop_deg=pose_stop_deg, num_hypotheses=num_hypotheses,
                          with_uncertainty=with_uncertainty, mscore_base=mscore_base)
     return m.run(data, key)
+
+
+class BatchedIterativeMatcher(IterativeMatcher):
+    """Multi-pair iterative eval: B pairs advance through the loop together;
+    per-pair convergence masks freeze each pair's outputs at its own stopping
+    iteration (reference semantics per pair, eval/matching.py:110-117), and
+    the host reads back ONE scalar per checkpoint (all-converged) to break
+    early. Converged pairs keep riding along until the whole batch stops —
+    the batching win (shared programs, full-device utilization) dominates the
+    straggler waste at eval batch sizes."""
+
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        self._check_b = jax.jit(self._check_batched_impl)
+        if self.with_uncertainty:
+            self._pool_b = jax.jit(self._pool_batched_impl)
+
+    # ------------------------------------------------------------- jit bodies
+    def _check_batched_impl(self, ni, desc0, desc1, keep0, keep1, x0n, x1n,
+                            state, keys, norm_threshs):
+        """Batched convergence check. x0n/x1n [B,N,2]; keys [B,2] PRNG keys;
+        norm_threshs [B]. state carries frozen per-pair results."""
+        from impx.ransac.pose_solver import estimate_pose_jax
+
+        model, params = self.model, self.params
+        fw = jnp.stack([p["w"] for p in params["final_proj"]])
+        fb = jnp.stack([p["b"] for p in params["final_proj"]])
+        mdesc0 = jnp.einsum("bnc,cd->bnd", desc0, fw[ni]) + fb[ni]
+        mdesc1 = jnp.einsum("bnc,cd->bnd", desc1, fw[ni]) + fb[ni]
+        dist = jnp.einsum("bnd,bmd->bnm", mdesc0, mdesc1) / (
+            model.config.descriptor_dim ** 0.5)
+        score = model.compute_score(params, dist, keep0, keep1)
+        idx0, idx1, ms0, ms1 = model.compute_matches(
+            score, p=self.match_ratio, valid0=keep0, valid1=keep1)
+
+        m_valid = idx0 > -1                                   # [B, N]
+        n_matches = jnp.sum(m_valid, axis=1)                  # [B]
+        gather = jnp.take_along_axis(
+            x1n, jnp.clip(idx0, 0, x1n.shape[1] - 1)[..., None], axis=1)
+
+        pose = jax.vmap(
+            lambda k, a, b, v, th: estimate_pose_jax(
+                k, a, b, v, th, num_hypotheses=self.num_hypotheses)
+        )(keys, x0n, gather, m_valid, norm_threshs)
+
+        enough = n_matches >= self.min_kpts                   # [B]
+        pose_ok = pose["num_inliers"] >= 5
+        diff = jax.vmap(_pose_diff_deg)(state["R"], state["t"],
+                                        pose["R"], pose["t"])
+        diff = jnp.where(state["has_pose"] & pose_ok & enough, diff, jnp.inf)
+        newly = enough & (diff <= self.pose_stop_deg) & ~state["converged"]
+        active = ~state["converged"]
+
+        inlier_idx0 = jnp.where(m_valid & pose["inliers"], idx0, -1)
+
+        upd = active & enough & pose_ok
+        state = dict(state)
+        state["R"] = jnp.where(upd[:, None, None], pose["R"], state["R"])
+        state["t"] = jnp.where(upd[:, None], pose["t"], state["t"])
+        state["has_pose"] = jnp.where(active, enough & pose_ok,
+                                      state["has_pose"])
+        # freeze: newly converged pairs keep pose-inlier matches; still-active
+        # pairs track the latest raw matches (the fallback if never converged)
+        state["indices0"] = jnp.where(
+            newly[:, None], inlier_idx0,
+            jnp.where(active[:, None], idx0, state["indices0"]))
+        state["mscores0"] = jnp.where(active[:, None], ms0, state["mscores0"])
+        state["stopped_at"] = jnp.where(newly, ni + 1, state["stopped_at"])
+        state["converged"] = state["converged"] | newly
+        inlier_ratio = jnp.where(
+            n_matches > 0, pose["num_inliers"] / jnp.maximum(n_matches, 1), 0.0)
+        return state, score, inlier_ratio, jnp.all(state["converged"])
+
+    def _pool_batched_impl(self, score, probs, keep0, keep1, mscore_th, active):
+        """Uncertainty pooling with per-pair thresholds; frozen pairs keep
+        their masks."""
+        p00, p11, p10, p01 = probs
+        new0, new1 = self.model.pool_masks(
+            score, p00, p01, p11, p10, keep0, keep1,
+            mscore_th=mscore_th[:, None])
+        return (jnp.where(active[:, None], new0, keep0),
+                jnp.where(active[:, None], new1, keep1))
+
+    # --------------------------------------------------------------- host loop
+    def run_batch(self, data: dict[str, Any], key, norm_threshs) -> dict[str, Any]:
+        """data: the standard feed batched [B, ...] plus x0n/x1n [B, N, 2];
+        norm_threshs: [B] per-pair RANSAC thresholds. Returns per-pair dict
+        arrays (indices0 [B,N], R [B,3,3], t, has_pose, stopped_at,
+        converged)."""
+        model = self.model
+        n_layers = model.config.n_layers
+        b, n = data["valid0"].shape
+
+        desc0, desc1 = self._encode(data)
+        keep0, keep1 = data["valid0"], data["valid1"]
+        probs = (None, None, None, None)
+        state = {
+            "R": jnp.broadcast_to(jnp.eye(3), (b, 3, 3)),
+            "t": jnp.zeros((b, 3)),
+            "has_pose": jnp.zeros((b,), bool),
+            "converged": jnp.zeros((b,), bool),
+            "indices0": jnp.full((b, n), -1, jnp.int32),
+            "mscores0": jnp.zeros((b, n), jnp.float32),
+            "stopped_at": jnp.full((b,), n_layers, jnp.int32),
+        }
+        norm_threshs = jnp.asarray(norm_threshs, jnp.float32)
+        score = None
+
+        for ni in range(n_layers):
+            desc0, desc1, probs = self._steps[ni](desc0, desc1, probs, keep0, keep1)
+            if ni not in self.valid_its:
+                continue
+            key, sub = jax.random.split(key)
+            keys = jax.random.split(sub, b)
+            active = ~state["converged"]
+            state, score, inlier_ratio, all_done = self._check_b(
+                jnp.asarray(ni), desc0, desc1, keep0, keep1,
+                data["x0n"], data["x1n"], state, keys, norm_threshs)
+            if self.with_uncertainty:
+                th = jnp.where(inlier_ratio > 0,
+                               self.mscore_base * inlier_ratio, self.mscore_base)
+                keep0, keep1 = self._pool_b(score, probs, keep0, keep1, th, active)
+            if bool(all_done):  # the ONLY host sync: one scalar per checkpoint
+                break
+
+        # never-converged pairs fall back to matches at p=0.2 from the last
+        # score (reference matching.py:119-123)
+        if score is not None:
+            idx0, _, ms0, _ = model.compute_matches(
+                score, p=0.2, valid0=keep0, valid1=keep1)
+            conv = state["converged"]
+            state["indices0"] = jnp.where(conv[:, None], state["indices0"], idx0)
+            state["mscores0"] = jnp.where(conv[:, None], state["mscores0"], ms0)
+        return state

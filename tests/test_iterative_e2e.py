@@ -120,3 +120,40 @@ def test_produce_matches_on_trained_model(trained_model):
     inl = np.asarray(G.compute_epi_inlier(
         jnp.asarray(x0n), jnp.asarray(x1n), jnp.asarray(pair["e"]), 0.01))
     assert inl.mean() > 0.7, inl.mean()
+
+
+def test_batched_iterative_recovers_poses(trained_model):
+    """BatchedIterativeMatcher: 4 pairs per program, per-pair convergence
+    freezing; trained model must recover each pair's pose."""
+    from impx.eval.iterative import BatchedIterativeMatcher
+
+    model, params = trained_model
+    rs = np.random.RandomState(100)  # same pair stream the per-pair test uses
+    feeds, pairs = zip(*[_pair_feed(rs) for _ in range(4)])
+    batch = {k: jnp.concatenate([f[k] for f in feeds], axis=0)
+             for k in feeds[0] if k not in ("x0n", "x1n")}
+    batch["x0n"] = jnp.stack([f["x0n"] for f in feeds])
+    batch["x1n"] = jnp.stack([f["x1n"] for f in feeds])
+
+    matcher = BatchedIterativeMatcher(
+        model, params, norm_thresh=2e-3, match_ratio=0.1, min_kpts=15,
+        pose_stop_deg=2.5, num_hypotheses=512, valid_its=(1, 2, 3, 4, 5))
+    out = matcher.run_batch(batch, jax.random.PRNGKey(1),
+                            np.full(4, 2e-3, np.float32))
+    conv = np.asarray(out["converged"])
+    stops = np.asarray(out["stopped_at"])
+    assert conv.sum() >= 3, conv
+    errs = []
+    for bi in range(4):
+        if not conv[bi]:
+            continue
+        err_R = float(G.angle_error_mat(jnp.asarray(pairs[bi]["R"]),
+                                        jnp.asarray(out["R"][bi])))
+        err_t = float(G.angle_error_vec(jnp.asarray(pairs[bi]["T"]),
+                                        jnp.asarray(out["t"][bi])))
+        err_t = min(err_t, 180 - err_t)
+        errs.append(max(err_R, err_t))
+        # converged pairs report their own stopping iteration
+        assert stops[bi] <= model.config.n_layers
+    assert np.median(errs) < 5.0, errs
+    assert (stops[conv] < model.config.n_layers).any(), stops
