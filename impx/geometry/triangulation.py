@@ -29,9 +29,14 @@ def triangulate_points(P0, P1, x0, x1):
         )
 
     A = jax.vmap(build_A)(x0, x1)  # [N,4,4]
-    # smallest right singular vector via SVD (batched 4x4: cheap on TPU)
-    _, _, vt = jnp.linalg.svd(A)
-    return vt[:, -1, :]
+    # smallest right singular vector = smallest eigenvector of A^T A by
+    # inverse iteration (batched Cholesky + triangular solves). XLA's batched
+    # small SVD is an iterative Jacobi loop that dominated the on-device
+    # RANSAC checkpoint (N x 4 pose hypotheses x pairs of 4x4 SVDs).
+    from impx.ransac.eight_point import _smallest_eigvec
+
+    AtA = A.swapaxes(-1, -2) @ A
+    return _smallest_eigvec(AtA)
 
 
 def cheirality_mask(pts4d, P, distance_thresh: float = 1000.0, valid=None):

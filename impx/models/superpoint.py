@@ -153,3 +153,28 @@ def extract_keypoints(
         "descriptors": descs,
         "valid": valid,
     }
+
+
+def init_params(key, desc_dim: int = 256):
+    """Random-weight SuperPoint parameter pytree (standard channel plan,
+    reference superpoint.py:121-136) — for tests/benchmarks; real weights
+    come from impx.tools.convert_torch.load_superpoint_checkpoint."""
+    import jax
+
+    plan = {
+        "conv1a": (3, 1, 64), "conv1b": (3, 64, 64),
+        "conv2a": (3, 64, 64), "conv2b": (3, 64, 64),
+        "conv3a": (3, 64, 128), "conv3b": (3, 128, 128),
+        "conv4a": (3, 128, 128), "conv4b": (3, 128, 128),
+        "convPa": (3, 128, 256), "convPb": (1, 256, 65),
+        "convDa": (3, 128, 256), "convDb": (1, 256, desc_dim),
+    }
+    params = {}
+    keys = jax.random.split(key, len(plan))
+    for k_, (name, (ks, cin, cout)) in zip(keys, plan.items()):
+        scale = (2.0 / (ks * ks * cin)) ** 0.5
+        params[name] = {
+            "w": jax.random.normal(k_, (ks, ks, cin, cout)) * scale,
+            "b": jnp.zeros((cout,)),
+        }
+    return params

@@ -239,12 +239,13 @@ def solve_essential_5pt(x0: jax.Array, x1: jax.Array, grid: int = 512):
     E = E / (jnp.linalg.norm(E, axis=(-2, -1), keepdims=True) + 1e-12)
     valid = has_root & jnp.all(jnp.isfinite(E), axis=(-1, -2))
     E = jnp.where(valid[..., None, None], E, jnp.eye(3, dtype=dt))
-    # project onto the essential manifold (singular values -> (1,1,0)/sqrt 2):
-    # absorbs the fp32 residue of the degree-10 root chain and guarantees a
-    # decomposable E for the cheirality step
-    U, _, Vt = jnp.linalg.svd(E)
-    sigma = jnp.asarray([1.0, 1.0, 0.0], dt) / jnp.sqrt(2.0)
-    E = jnp.einsum("...ij,j,...jk->...ik", U, sigma, Vt)
+    # project onto the essential manifold: absorbs the fp32 residue of the
+    # degree-10 root chain and guarantees a decomposable E for the cheirality
+    # step (closed-form, no batched SVD — see eight_point.project_essential)
+    from impx.ransac.eight_point import project_essential
+
+    E = project_essential(E)
+    E = E / (jnp.linalg.norm(E, axis=(-2, -1), keepdims=True) + 1e-12)
     return E, valid
 
 

@@ -27,12 +27,16 @@ from impx.ransac.eight_point import essential_from_points
 
 
 def _sample_minimal_sets(key, valid, num_hypotheses: int, sample_size: int):
-    """[H, sample_size] indices of valid points, uniform without replacement."""
-    n = valid.shape[-1]
-    z = jax.random.uniform(key, (num_hypotheses, n))
-    z = jnp.where(valid[None, :], z, -jnp.inf)
-    _, idx = jax.lax.top_k(z, sample_size)
-    return idx
+    """[H, sample_size] indices of valid points, ~uniform.
+
+    One argsort builds a dense valid-index table, then H*S random draws index
+    into it — vs Gumbel top-k, which sorts an [H, N] matrix per call (a real
+    cost inside the iterative loop's checkpoints). Within-sample collisions
+    (~1% at N≈2k) just produce degenerate hypotheses that score low."""
+    order = jnp.argsort(~valid)  # valid indices first, stable
+    nv = jnp.maximum(jnp.sum(valid), 1)
+    r = jax.random.randint(key, (num_hypotheses, sample_size), 0, nv)
+    return order[r]
 
 
 def _score(E, x0, x1, valid, threshold):
@@ -76,24 +80,26 @@ def estimate_essential_ransac(
         gains, _, _ = jax.vmap(lambda E: _score(E, x0, x1, valid, threshold))(Es)
         gains = jnp.where(ok.reshape(-1), gains, -jnp.inf)
     else:
-        Es = essential_from_points(sx0, sx1)  # [H, 3, 3] (batched eigh inside)
+        Es = essential_from_points(sx0, sx1)  # [H, 3, 3]
         gains, _, _ = jax.vmap(lambda E: _score(E, x0, x1, valid, threshold))(Es)
     best = jnp.argmax(gains)
     E = Es[best]
 
-    # local optimization: IRLS with truncated weights on the current inliers
-    def lo_body(_, E):
+    # local optimization: IRLS with truncated weights on the current inliers;
+    # the current gain is carried so each iteration scores only the refit
+    def lo_body(_, carry):
+        E, g = carry
         d2 = sampson_distance(x0, x1, E)
         t2 = threshold * threshold
         w = jnp.where((d2 < t2) & valid, 1.0 / (1.0 + d2 / t2), 0.0)
         n_in = jnp.sum(w > 0)
         E_new = essential_from_points(x0, x1, weights=w)
-        # keep the refit only if it does not lose gain
-        g_old, _, _ = _score(E, x0, x1, valid, threshold)
         g_new, _, _ = _score(E_new, x0, x1, valid, threshold)
-        return jnp.where((g_new >= g_old) & (n_in >= 8), E_new, E)
+        better = (g_new >= g) & (n_in >= 8)  # keep refit only if gain held
+        return jnp.where(better, E_new, E), jnp.where(better, g_new, g)
 
-    E = jax.lax.fori_loop(0, lo_iterations, lo_body, E)
+    g0, _, _ = _score(E, x0, x1, valid, threshold)
+    E, _ = jax.lax.fori_loop(0, lo_iterations, lo_body, (E, g0))
     gain, inliers, _ = _score(E, x0, x1, valid, threshold)
     return {
         "E": E,

@@ -157,3 +157,34 @@ def test_batched_iterative_recovers_poses(trained_model):
         assert stops[bi] <= model.config.n_layers
     assert np.median(errs) < 5.0, errs
     assert (stops[conv] < model.config.n_layers).any(), stops
+
+
+def test_fused_iterative_single_program(trained_model):
+    """Fully-fused single-program loop (impx/eval/iterative_fused.py):
+    same pairs, zero host round-trips, per-pair convergence masks."""
+    from impx.eval.iterative_fused import run_iterative_fused
+
+    model, params = trained_model
+    rs = np.random.RandomState(100)
+    feeds, pairs = zip(*[_pair_feed(rs) for _ in range(4)])
+    batch = {k: jnp.concatenate([f[k] for f in feeds], axis=0)
+             for k in feeds[0] if k not in ("x0n", "x1n")}
+    batch["x0n"] = jnp.stack([f["x0n"] for f in feeds])
+    batch["x1n"] = jnp.stack([f["x1n"] for f in feeds])
+
+    out = run_iterative_fused(
+        model, params, batch, jax.random.PRNGKey(1),
+        np.full(4, 2e-3, np.float32), valid_its=(1, 2, 3, 4, 5),
+        match_ratio=0.1, min_kpts=15, pose_stop_deg=2.5, num_hypotheses=512)
+    conv = np.asarray(out["converged"])
+    assert conv.sum() >= 3, conv
+    errs = []
+    for bi in range(4):
+        if not conv[bi]:
+            continue
+        err_R = float(G.angle_error_mat(jnp.asarray(pairs[bi]["R"]),
+                                        jnp.asarray(out["R"][bi])))
+        errs.append(err_R)
+    assert np.median(errs) < 5.0, errs
+    stops = np.asarray(out["stopped_at"])
+    assert (stops[conv] < model.config.n_layers).any(), stops
