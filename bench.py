@@ -22,12 +22,21 @@ REF_GPU_PAIRS_PER_SEC = 35.0  # estimated reference throughput (see docstring)
 
 
 def main():
+    import os
+
     import jax
     import jax.numpy as jnp
 
     from impx.models import MatcherConfig, DGNNS
 
     import dataclasses
+
+    # Pallas silently runs in interpreter mode off-TPU (impx/ops/attention.py
+    # _interpret); an interpreter number must never masquerade as the bench.
+    if jax.default_backend() != "tpu" and not os.environ.get("BENCH_ALLOW_CPU"):
+        raise SystemExit(
+            f"bench.py requires a TPU backend (got {jax.default_backend()!r}); "
+            "set BENCH_ALLOW_CPU=1 to measure the interpreter anyway")
 
     n_kpts = 2048
     batch = 4  # pairs per device step

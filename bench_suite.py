@@ -212,7 +212,17 @@ def bench_scannet_e2e(model, batch=4, K=12):
 
 
 def main(selected):
+    import os
+
+    import jax
+
     from impx.models import MatcherConfig, DGNNS, AdaGMN
+
+    # same honesty guard as bench.py: never report interpreter numbers
+    if jax.default_backend() != "tpu" and not os.environ.get("BENCH_ALLOW_CPU"):
+        raise SystemExit(
+            f"bench_suite.py requires a TPU backend (got {jax.default_backend()!r}); "
+            "set BENCH_ALLOW_CPU=1 to measure the interpreter anyway")
 
     def cfg(feature="spp", **over):
         base = MatcherConfig.eval_config(feature, n_layers=15)

@@ -49,6 +49,10 @@ parser.add_argument("--compute_dtype", type=str, default="float32",
                     choices=["float32", "bfloat16"])
 parser.add_argument("--eval_batch", type=int, default=4,
                     help="pairs per device call on the non-iterative path")
+parser.add_argument("--data_parallel", action="store_true", default=False,
+                    help="shard each eval batch's pair axis over all local "
+                         "devices (eval_batch should be a multiple of the "
+                         "device count)")
 parser.add_argument("--compaction", type=str, default="",
                     help="EIMP bucketed compaction schedule 'it:bucket[,it:bucket]' "
                          "(e.g. '4:1024'): physically gather survivors into "
@@ -172,6 +176,18 @@ def evaluate(model, params, reader, error_th: float, eval_config: dict, args) ->
                                            with_scores=False))
     iterative_fn = None
 
+    # data-parallel eval: shard the batch's pair axis over all local chips
+    # (the eval analog of the reference's multi-GPU DDP training split;
+    # eval_batch should be a multiple of the device count)
+    shard = lambda b: b  # noqa: E731
+    if getattr(args, "data_parallel", False) and len(jax.devices()) > 1:
+        from impx.parallel.mesh import make_mesh, replicate, shard_batch
+
+        mesh = make_mesh()
+        params = replicate(mesh, params)
+        shard = lambda b: shard_batch(mesh, b)  # noqa: E731
+        print(f"data-parallel eval over {len(jax.devices())} devices")
+
     evaluator = AucEval({**eval_config, "pose_backend": args.pose_backend})
     key = jax.random.PRNGKey(0)
     t_start = time.time()
@@ -258,8 +274,8 @@ def evaluate(model, params, reader, error_th: float, eval_config: dict, args) ->
                 index += 1
             while len(feeds) < eb:  # pad the last batch
                 feeds.append(feeds[-1])
-            batch = {k: jnp.asarray(np.stack([f[k] for f in feeds]))
-                     for k in feeds[0]}
+            batch = shard({k: jnp.asarray(np.stack([f[k] for f in feeds]))
+                           for k in feeds[0]})
             t0 = time.time()
             out = produce(params, batch)
             matches_b = np.asarray(out["indices0"][-1])

@@ -79,6 +79,35 @@ def compute_epi_inlier_np(x0, x1, E, inlier_th, return_error: bool = False):
     return mask
 
 
+def pairwise_epipolar_distance(x0, x1, E):
+    """All-pairs symmetric-normalized epipolar distance matrix.
+
+    Same metric as `epipolar_distance` (reference metrics.py:51-64) but over
+    every (i, j) keypoint combination — the weighting matrix of the
+    geometry-supervised (_geo) training loss (reference nets/loss.py:125-126
+    hook + the IMP paper's pose-consistency supervision).
+
+    x0 [..., N, 2], x1 [..., M, 2] in normalized camera coordinates;
+    E [..., 3, 3] with x1ᵀ E x0 = 0. Returns [..., N, M].
+    """
+    x0h = _to_h(x0)
+    x1h = _to_h(x1)
+    l1 = x0h @ E.swapaxes(-1, -2)  # [..., N, 3] epipolar lines in image 1
+    l0 = x1h @ E                   # [..., M, 3] epipolar lines in image 0
+    s = l1 @ x1h.swapaxes(-1, -2)  # [..., N, M]: x1h_j . (E x0h_i)
+    n1 = 1.0 / jnp.sqrt(jnp.sum(l1[..., :2] ** 2, axis=-1) + 1e-15)  # [..., N]
+    n0 = 1.0 / jnp.sqrt(jnp.sum(l0[..., :2] ** 2, axis=-1) + 1e-15)  # [..., M]
+    return jnp.abs(s) * (n1[..., :, None] + n0[..., None, :]) / 2.0
+
+
+def normalize_by_intrinsics(kpts, K):
+    """Pixel keypoints [..., N, 2] -> normalized camera coordinates via
+    K^-1 (zero-skew pinhole: subtract principal point, divide by focal)."""
+    f = jnp.stack([K[..., 0, 0], K[..., 1, 1]], axis=-1)  # [..., 2]
+    c = jnp.stack([K[..., 0, 2], K[..., 1, 2]], axis=-1)
+    return (kpts - c[..., None, :]) / f[..., None, :]
+
+
 def sampson_distance(x0, x1, E):
     """Squared Sampson distance (first-order geometric error).
 

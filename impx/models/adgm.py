@@ -161,6 +161,10 @@ class AdaGMN(DGNNS):
         prob00 = prob01 = prob10 = prob11 = None
         all_idx0, all_ms0, all_scores = [], [], []
         total = None
+        epi = None
+        if gt is not None and cfg.with_geo:
+            from impx.models.loss import maybe_epipolar_matrix
+            epi = maybe_epipolar_matrix(data, cfg.geo_clamp)
 
         for ni in range(cfg.n_layers):
             # self attention (reference adgm.py:374-386)
@@ -198,6 +202,9 @@ class AdaGMN(DGNNS):
                     terms = graph_loss(pred_score, gt)
                 else:
                     terms = graph_loss(pred_score, _masked_gt(gt, keep0, keep1))
+                if epi is not None:
+                    from impx.models.loss import geo_loss
+                    terms["geo"] = geo_loss(pred_score, epi, keep0, keep1)
                 total = terms if total is None else jax.tree.map(jnp.add, total, terms)
 
             perform_updating = sharing[2 * ni] and ni >= cfg.first_it_to_update
@@ -240,16 +247,20 @@ class AdaGMN(DGNNS):
             train=train, axis_name=axis_name, gt=gt)
         n_it = self.config.n_layers
         total = jax.tree.map(lambda x: x / n_it, total)
-        loss = total["corr"] + total["incorr"] + total["neg"]
+        matching_loss = total["corr"] + total["incorr"] + total["neg"]
+        loss = matching_loss
+        if "geo" in total:
+            loss = loss + self.config.geo_weight * total["geo"]
 
         accs = [matching_accuracy(idx0, gt) for idx0 in all_idx0]
         acc = jax.tree.map(lambda *xs: sum(xs) / len(xs), *accs)
         return {
             "loss": loss,
-            "matching_loss": loss,
+            "matching_loss": matching_loss,
             "matching_loss_corr": total["corr"],
             "matching_loss_incorr": total["incorr"],
             "matching_loss_neg": total["neg"],
+            "geo_loss": total.get("geo", jnp.zeros(())),
             "matching_scores0": all_ms0[-1],
             "matches0": all_idx0[-1],
             **acc,

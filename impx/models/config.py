@@ -31,6 +31,13 @@ class MatcherConfig:
     # savings). Shrinks the O(N^2) attention/Sinkhorn cost like the
     # reference's dynamic slicing, at XLA-static shapes.
     compaction: tuple = ()
+    # geometry-supervised (_geo) training: add a pose-consistency loss term —
+    # assignment probabilities weighted by the clamped epipolar error under
+    # the gt pose (reference nets/loss.py:20 `with_pose` hook; trains the
+    # IMP_geo/EIMP_geo weight-table variants of eval/eval_imp.py:275/316)
+    with_geo: bool = False
+    geo_weight: float = 50.0   # epi errors are ~1e-3..5e-2 in normalized coords
+    geo_clamp: float = 0.05    # 10x the eval protocol's 0.005 inlier threshold
     # compute dtype for the attention einsums ('float32' | 'bfloat16')
     compute_dtype: str = "float32"
     # attention implementation: 'xla' (materializes probs; differentiable) or

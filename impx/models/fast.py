@@ -243,8 +243,11 @@ def forward_train_scan(model, stacked: dict, data: dict[str, Any]):
     """DGNNS training forward on the scan fast path: per-iteration Sinkhorn +
     GraphLoss accumulated in the scan carry (reference gms.py:48-137
     semantics: every cross-layer output supervised against the same GT mask).
-    Differentiable end-to-end (the fused kernel has a custom VJP)."""
-    from impx.models.loss import graph_loss, matching_accuracy
+    Differentiable end-to-end (the fused kernel has a custom VJP).
+    with_geo adds the pose-consistency term per iteration (the `_geo`
+    training variants; reference nets/loss.py:20/125-126 hook)."""
+    from impx.models.loss import (geo_loss, graph_loss, matching_accuracy,
+                                  maybe_epipolar_matrix)
 
     cfg = model.config
     assert cfg.norm_fn == "in"
@@ -252,6 +255,7 @@ def forward_train_scan(model, stacked: dict, data: dict[str, Any]):
     compute_dtype = model.compute_dtype
 
     gt = data["matching_mask"]
+    epi = maybe_epipolar_matrix(data, cfg.geo_clamp) if cfg.with_geo else None
     valid0 = data.get("valid0")
     valid1 = data.get("valid1")
     b, n = data["descriptors0"].shape[:2]
@@ -298,12 +302,16 @@ def forward_train_scan(model, stacked: dict, data: dict[str, Any]):
         dist = model.compute_distance(pl, d0, d1, layer_id=-1)
         score = model.compute_score(pl, dist, valid0, valid1)
         t = graph_loss(score, gt)
+        if epi is not None:
+            t["geo"] = geo_loss(score, epi, valid0, valid1)
         terms = jax.tree.map(jnp.add, terms, t)
         return (desc, qk_self, qk_cross, terms, score), None
 
     per_it = {"self": stacked["self"], "cross": stacked["cross"],
               "final_w": stacked["final_w"], "final_b": stacked["final_b"]}
     zero_terms = {"corr": jnp.zeros(()), "incorr": jnp.zeros(()), "neg": jnp.zeros(())}
+    if epi is not None:
+        zero_terms["geo"] = jnp.zeros(())
     # rematerialize the body in the backward pass: storing 15 iterations of
     # Sinkhorn plans + MLP intermediates (>4 GB at batch 16 / N 1024) blows
     # HBM; recompute costs ~1.3x forward time instead
@@ -313,16 +321,20 @@ def forward_train_scan(model, stacked: dict, data: dict[str, Any]):
 
     n_it = cfg.n_layers
     terms = jax.tree.map(lambda x: x / n_it, terms)
-    loss = terms["corr"] + terms["incorr"] + terms["neg"]
+    matching_loss = terms["corr"] + terms["incorr"] + terms["neg"]
+    loss = matching_loss
+    if epi is not None:
+        loss = loss + cfg.geo_weight * terms["geo"]
     idx0, idx1, ms0, ms1 = model.compute_matches(
         last_score, p=cfg.match_threshold, valid0=valid0, valid1=valid1)
     acc = matching_accuracy(idx0, gt)
     return {
         "loss": loss,
-        "matching_loss": loss,
+        "matching_loss": matching_loss,
         "matching_loss_corr": terms["corr"],
         "matching_loss_incorr": terms["incorr"],
         "matching_loss_neg": terms["neg"],
+        "geo_loss": terms.get("geo", jnp.zeros(())),
         "matching_scores0": ms0,
         "matches0": idx0,
         **acc,

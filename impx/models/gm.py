@@ -200,16 +200,20 @@ class GM:
         Returns the loss dict from impx.models.loss.graph_loss, averaged over
         all nI iterations (losses are computed per iteration and meaned,
         mirroring the reference's batch-dim stacking)."""
-        from impx.models.loss import graph_loss, matching_accuracy
+        from impx.models.loss import (geo_loss, graph_loss, matching_accuracy,
+                                      maybe_epipolar_matrix)
 
         desc0, desc1, valid0, valid1 = self._encode_inputs(params, data, train, axis_name)
         gt = data["matching_mask"]
+        epi = (maybe_epipolar_matrix(data, self.config.geo_clamp)
+               if self.config.with_geo else None)
 
         state = self.init_state()
         total = None
         n_it = 0
         last_score = None
         last_idx0 = None
+        geo_total = jnp.zeros(())
         for i in range(len(params["gnn"])):
             desc0, desc1, state = self.forward_one_layer(
                 params, desc0, desc1, i, state, valid0, valid1)
@@ -219,20 +223,27 @@ class GM:
                 score = self.compute_score(params, dist, valid0, valid1)
                 terms = graph_loss(score, gt)
                 total = terms if total is None else jax.tree.map(jnp.add, total, terms)
+                if epi is not None:
+                    geo_total = geo_total + geo_loss(score, epi, valid0, valid1)
                 n_it += 1
                 last_score = score
         total = jax.tree.map(lambda x: x / n_it, total)
-        loss = total["corr"] + total["incorr"] + total["neg"]
+        geo_total = geo_total / n_it
+        matching_loss = total["corr"] + total["incorr"] + total["neg"]
+        loss = matching_loss
+        if epi is not None:
+            loss = loss + self.config.geo_weight * geo_total
 
         idx0, idx1, ms0, ms1 = self.compute_matches(
             last_score, p=self.config.match_threshold, valid0=valid0, valid1=valid1)
         acc = matching_accuracy(idx0, gt)
         return {
             "loss": loss,
-            "matching_loss": loss,
+            "matching_loss": matching_loss,
             "matching_loss_corr": total["corr"],
             "matching_loss_incorr": total["incorr"],
             "matching_loss_neg": total["neg"],
+            "geo_loss": geo_total,
             "matching_scores0": ms0,
             "matches0": idx0,
             **acc,

@@ -62,6 +62,47 @@ def epipolar_loss(pred_scores, epipolar_error):
     return jnp.mean(pred_scores * epipolar_error)
 
 
+def geo_loss(pred_scores, epi, valid0=None, valid1=None):
+    """Pose-consistency loss: assignment-probability-weighted mean epipolar
+    error over valid non-dustbin cells.
+
+    This is the geometry supervision behind the reference's `_geo` weight
+    variants (eval/eval_imp.py:275/316 weight tables; `with_pose` config hook
+    nets/loss.py:20 + `compute_epipolar_loss_batch` nets/loss.py:125-126 —
+    declared but never wired in the reference). The IMP paper trains these by
+    penalizing probability mass on geometrically inconsistent pairs under the
+    ground-truth pose; the matching NLL keeps mass off the dustbin, this term
+    pushes whatever mass remains onto epipolar-consistent pairs.
+
+    pred_scores [B, N+1, M+1]; epi [B, N, M] (pre-clamped by the caller);
+    valid masks broadcast over padded cells."""
+    p = pred_scores[:, :-1, :-1]
+    if valid0 is not None:
+        pairmask = (valid0[:, :, None] & valid1[:, None, :]).astype(p.dtype)
+        p = p * pairmask
+        denom = jnp.maximum(jnp.sum(pairmask, axis=(1, 2)), 1.0)
+    else:
+        denom = jnp.asarray(p.shape[1] * p.shape[2], p.dtype)
+    return jnp.mean(jnp.sum(p * epi, axis=(1, 2)) / denom)
+
+
+def maybe_epipolar_matrix(data, clamp: float):
+    """Build the clamped all-pairs epipolar-error matrix [B, N, M] from a
+    training batch, or return None when the batch lacks the geometric keys
+    (pixel keypoints + intrinsics + gt essential matrix — the megadepth dump
+    layout, reference dataset/megadepth.py:218-226)."""
+    needed = ("keypoints0", "keypoints1", "intrinsics0", "intrinsics1", "gt_E")
+    if not all(k in data for k in needed):
+        return None
+    from impx.geometry.epipolar import (normalize_by_intrinsics,
+                                        pairwise_epipolar_distance)
+
+    x0n = normalize_by_intrinsics(data["keypoints0"], data["intrinsics0"])
+    x1n = normalize_by_intrinsics(data["keypoints1"], data["intrinsics1"])
+    epi = pairwise_epipolar_distance(x0n, x1n, data["gt_E"])
+    return jnp.minimum(epi, clamp)
+
+
 def matching_accuracy(indices0, gt_matching_mask, n_iters: int = 1):
     """Correct/incorrect match counters (reference gm.py:207-214, loss.py:47-53).
     indices0: [B, N] predicted matches (-1 unmatched); gt mask [B, N+1, M+1]."""

@@ -105,6 +105,7 @@ def make_train_step(model, hp: TrainHyperParams, donate: bool = True) -> Callabl
             "acc_incorr": out.get("acc_incorr", jnp.zeros(())),
             "total_acc_corr": out.get("total_acc_corr", jnp.ones(())),
             "total_acc_incorr": out.get("total_acc_incorr", jnp.ones(())),
+            "geo_loss": out.get("geo_loss", jnp.zeros(())),
             "max_mscore": jnp.max(out.get("matching_scores0", jnp.zeros((1,)))),
             "lr": lr,
             "bad_loss": bad.astype(jnp.int32),

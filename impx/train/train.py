@@ -55,6 +55,12 @@ parser.add_argument("--synthetic", action="store_true",
 parser.add_argument("--synthetic_pairs", type=int, default=512)
 parser.add_argument("--compute_dtype", type=str, default="float32",
                     choices=["float32", "bfloat16"])
+parser.add_argument("--with_geo", action="store_true",
+                    help="add the pose-consistency (epipolar) loss term — "
+                         "trains the _geo weight variants "
+                         "(reference eval/eval_imp.py:275/316 weight tables)")
+parser.add_argument("--geo_weight", type=float, default=50.0)
+parser.add_argument("--geo_clamp", type=float, default=0.05)
 parser.add_argument("--multihost", action="store_true",
                     help="initialize jax.distributed (multi-host mesh over DCN; "
                          "the data mesh then spans all hosts' chips)")
@@ -73,6 +79,9 @@ def build_model(args):
         norm_fn=args.norm_fn,
         n_min_tokens=args.n_min_tokens,
         compute_dtype=args.compute_dtype,
+        with_geo=args.with_geo,
+        geo_weight=args.geo_weight,
+        geo_clamp=args.geo_clamp,
     )
     return {"gm": GM, "dgnns": DGNNS, "adagmn": AdaGMN}[args.network](cfg)
 
