@@ -85,9 +85,17 @@ def main():
         # compute throughput (production pipelines overlap transfers)
         return sum(jnp.sum(v) for v in stack.values())
 
+    import sys
+
+    def note(msg):
+        print(f"[bench] {msg}", file=sys.stderr, flush=True)
+
     warm = make_stack(1)
+    note("uploading warm-up stack")
     float(touch(warm))
+    note("compiling + first run")
     float(run_stream(params, warm))  # compile + warm (value readback = sync)
+    note("second warm run")
     float(run_stream(params, make_stack(9)))  # second warm (relay warm-up)
 
     best = None
@@ -97,6 +105,7 @@ def main():
         t0 = time.perf_counter()
         float(run_stream(params, stack))
         dt = time.perf_counter() - t0
+        note(f"timed run seed={seed}: {dt:.3f}s")
         best = dt if best is None else min(best, dt)
 
     pairs_per_sec = K * batch / best

@@ -63,8 +63,8 @@ def epipolar_loss(pred_scores, epipolar_error):
 
 
 def geo_loss(pred_scores, epi, valid0=None, valid1=None):
-    """Pose-consistency loss: assignment-probability-weighted mean epipolar
-    error over valid non-dustbin cells.
+    """Pose-consistency loss: the mean epipolar error of the *assigned
+    probability mass* — sum(p·epi) / sum(p) over valid non-dustbin cells.
 
     This is the geometry supervision behind the reference's `_geo` weight
     variants (eval/eval_imp.py:275/316 weight tables; `with_pose` config hook
@@ -74,16 +74,19 @@ def geo_loss(pred_scores, epi, valid0=None, valid1=None):
     ground-truth pose; the matching NLL keeps mass off the dustbin, this term
     pushes whatever mass remains onto epipolar-consistent pairs.
 
+    Mass normalization (not cell-count normalization, which the reference's
+    dormant hook uses) keeps the term in [0, clamp] regardless of N and of
+    how much mass the dustbin holds — the value reads directly as "average
+    epipolar error of the predicted assignment".
+
     pred_scores [B, N+1, M+1]; epi [B, N, M] (pre-clamped by the caller);
     valid masks broadcast over padded cells."""
     p = pred_scores[:, :-1, :-1]
     if valid0 is not None:
         pairmask = (valid0[:, :, None] & valid1[:, None, :]).astype(p.dtype)
         p = p * pairmask
-        denom = jnp.maximum(jnp.sum(pairmask, axis=(1, 2)), 1.0)
-    else:
-        denom = jnp.asarray(p.shape[1] * p.shape[2], p.dtype)
-    return jnp.mean(jnp.sum(p * epi, axis=(1, 2)) / denom)
+    mass = jnp.sum(p, axis=(1, 2))
+    return jnp.mean(jnp.sum(p * epi, axis=(1, 2)) / jnp.maximum(mass, 1e-6))
 
 
 def maybe_epipolar_matrix(data, clamp: float):
