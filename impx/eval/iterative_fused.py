@@ -15,6 +15,11 @@ batches back-to-back) single-program throughput wins.
 Checkpoint iterations, thresholds and stopping semantics mirror reference
 eval/matching.py:16-123 (valid_its, min_kpts, pose diff <= 1.5 deg,
 pose-inlier match output, p=0.2 fallback).
+
+Once EVERY pair in the batch has converged, the remaining scan iterations
+take an identity lax.cond branch — the early-stop FLOP savings of the
+host-driven loop without any host sync, so trained-weight throughput scales
+with the actual stopping iteration rather than the fixed 15.
 """
 from __future__ import annotations
 
@@ -140,7 +145,7 @@ def iterative_fused_batched(
             keep1 = jnp.where(active[:, None], new1, keep1)
         return state, keep0, keep1
 
-    def body(carry, per_it):
+    def run_iteration(carry, per_it):
         desc, qk_self, qk_cross, keep0, keep1, state = carry
         keep = jnp.concatenate([keep0, keep1], axis=0)
         keep_swap = jnp.concatenate([keep1, keep0], axis=0)
@@ -159,6 +164,19 @@ def iterative_fused_batched(
             lambda op: (op[6], op[4], op[5]),
             (per_it, desc, qk_self, qk_cross, keep0, keep1, state,
              per_it["key"]))
+        return (desc, qk_self, qk_cross, keep0, keep1, state)
+
+    def body(carry, per_it):
+        # device-side early exit: once EVERY pair has converged, remaining
+        # iterations take the identity branch — the early-stop FLOP savings
+        # of the host-driven loop (reference matching.py:110-117) with zero
+        # host syncs. (lax.cond executes only the taken branch under jit.)
+        state = carry[-1]
+        carry = jax.lax.cond(jnp.all(state["converged"]),
+                             lambda c: c,
+                             lambda c: run_iteration(c, per_it),
+                             carry)
+        desc, qk_self, qk_cross, keep0, keep1, state = carry
         state = dict(state, it=state["it"] + 1)
         return (desc, qk_self, qk_cross, keep0, keep1, state), None
 
