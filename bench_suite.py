@@ -143,6 +143,147 @@ def bench_iterative(name, model, n_kpts, batch=8, K=6,
     return pairs_per_sec
 
 
+def bench_iterative_trained(model, n_kpts=2048, batch=8, K=6, train_kpts=512,
+                            train_steps=500, num_hypotheses=512,
+                            valid_its=None, eval_inlier_frac=0.25,
+                            min_kpts=25, pose_stop_deg=1.5):
+    """Iterative loop with TRAINED weights on matchable synthetic pairs: the
+    early-stop case (converged pairs flip the whole scan to the identity
+    branch). This is the deployment-relevant number — the worst-case config
+    (random weights, never converges) is the floor. Also reports convergence
+    fraction, mean stopping iteration and median pose error vs ground truth
+    so the speed is tied to demonstrated quality."""
+    import jax
+    import jax.numpy as jnp
+    from impx.data.megadepth import SyntheticMegadepth
+    from impx.data.synthetic import synthesize_pair
+    from impx.eval.iterative_fused import iterative_fused_batched
+    from impx.geometry.pose import compute_pose_error_np
+    from impx.models.fast import stack_params
+    from impx.train.step import (TrainHyperParams, init_stats, make_optimizer,
+                                 make_train_step)
+
+    dim = model.config.descriptor_dim
+
+    # -------- train briefly on synthetic matchable scenes (rotating batches)
+    params = model.init(jax.random.PRNGKey(0))
+    hp = TrainHyperParams(lr=1e-3, decay_iter=10**6)
+    step = make_train_step(model, hp, donate=False)
+    opt = make_optimizer(hp).init(params)
+    ds = SyntheticMegadepth(num_pairs=128, nfeatures=train_kpts, desc_dim=dim,
+                            seed=0)
+    batches = []
+    for bi in range(8):
+        samples = [ds[bi * 16 + i] for i in range(16)]
+        batches.append({k: jnp.asarray(np.stack([s[k] for s in samples]), jnp.float32)
+                        for k in samples[0] if isinstance(samples[0][k], np.ndarray)})
+    for it in range(train_steps):
+        params, opt, metrics, _ = step(params, opt, jnp.asarray(it),
+                                       batches[it % len(batches)], init_stats())
+    print(json.dumps({"metric": "iterative_trained_train_acc_corr",
+                      "value": round(float(metrics["acc_corr"]), 2),
+                      "unit": f"correct matches/pair after {train_steps} steps",
+                      "vs_baseline": 0}), flush=True)
+
+    # -------- matchable eval stream at the full keypoint budget
+    def pad(a, n):
+        return np.pad(a, [(0, n - a.shape[0])] + [(0, 0)] * (a.ndim - 1))
+
+    def eval_stack(seed):
+        rs = np.random.RandomState(seed)
+        feeds, poses = [], []
+        for _ in range(K * batch):
+            n_in = int(n_kpts * eval_inlier_frac)
+            pair = synthesize_pair(rs, n_inliers=n_in,
+                                   n_outliers0=n_kpts - n_in,
+                                   n_outliers1=n_kpts - n_in,
+                                   desc_dim=dim, image_size=(480, 640))
+            k0 = pad(pair["kpt1"][:n_kpts], n_kpts)
+            k1 = pad(pair["kpt2"][:n_kpts], n_kpts)
+            h, w = pair["img_size1"]
+            size = np.array([w, h], np.float32)
+            Kin = pair["K1"]
+            feeds.append({
+                "descriptors0": pad(pair["desc1"][:n_kpts], n_kpts),
+                "descriptors1": pad(pair["desc2"][:n_kpts], n_kpts),
+                "norm_keypoints0": (k0[:, :2] - size / 2 - 0.5) / (size.max() * 0.7),
+                "norm_keypoints1": (k1[:, :2] - size / 2 - 0.5) / (size.max() * 0.7),
+                "scores0": k0[:, 2], "scores1": k1[:, 2],
+                "valid0": np.arange(n_kpts) < len(pair["kpt1"][:n_kpts]),
+                "valid1": np.arange(n_kpts) < len(pair["kpt2"][:n_kpts]),
+                "x0n": (k0[:, :2] - Kin[:2, 2]) / np.array([Kin[0, 0], Kin[1, 1]]),
+                "x1n": (k1[:, :2] - Kin[:2, 2]) / np.array([Kin[0, 0], Kin[1, 1]]),
+            })
+            poses.append((pair["R"], pair["T"]))
+        stack = {k: jnp.asarray(
+            np.stack([f[k] for f in feeds]).reshape(
+                K, batch, *feeds[0][k].shape).astype(
+                    np.bool_ if feeds[0][k].dtype == np.bool_ else np.float32))
+            for k in feeds[0]}
+        return stack, poses
+
+    stacked = stack_params(params, model.config)
+    nts = jnp.full((batch,), 2e-3, jnp.float32)
+    keys = jax.random.split(jax.random.PRNGKey(1), K)
+
+    extra = {} if valid_its is None else {"valid_its": tuple(valid_its)}
+
+    def run_one(stacked, d, key):
+        return iterative_fused_batched(
+            model, stacked, d, jax.random.split(key, model.config.n_layers),
+            nts, num_hypotheses=num_hypotheses, min_kpts=min_kpts,
+            pose_stop_deg=pose_stop_deg, **extra)
+
+    @jax.jit
+    def run_stream(stacked, stack, keys):
+        def body(acc, xs):
+            out = run_one(stacked, xs[0], xs[1])
+            return acc + jnp.sum(out["mscores0"]) + jnp.sum(out["stopped_at"]), None
+        return jax.lax.scan(body, jnp.zeros(()), (stack, keys))[0]
+
+    @jax.jit
+    def touch(stack):
+        return sum(jnp.sum(v.astype(jnp.float32)) for v in stack.values())
+
+    # quality probe (untimed): convergence fraction, stop iteration, pose err
+    stack_q, poses_q = eval_stack(1)
+    d0 = {k: v[0] for k, v in stack_q.items()}
+    out = jax.jit(run_one)(stacked, d0, keys[0])
+    conv = np.asarray(out["converged"])
+    stops = np.asarray(out["stopped_at"])
+    errs = []
+    for bi in range(batch):
+        T_0to1 = np.eye(4)
+        T_0to1[:3, :3] = poses_q[bi][0]
+        T_0to1[:3, 3] = poses_q[bi][1]
+        err_t, err_R = compute_pose_error_np(
+            T_0to1, np.asarray(out["R"][bi]), np.asarray(out["t"][bi]))
+        errs.append(max(err_R, err_t))
+    print(json.dumps({"metric": "iterative_trained_quality",
+                      "value": round(float(np.median(errs)), 2),
+                      "unit": f"median pose err deg; converged {conv.mean():.2f}; "
+                              f"mean stop {stops.mean():.1f}/{model.config.n_layers}",
+                      "vs_baseline": 0}), flush=True)
+
+    float(run_stream(stacked, stack_q, keys))  # compile + warm
+    best = None
+    for seed in (2, 3):
+        stack, _ = eval_stack(seed)
+        float(touch(stack))
+        t0 = time.perf_counter()
+        float(run_stream(stacked, stack, keys))
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    pairs_per_sec = K * batch / best
+    print(json.dumps({
+        "metric": f"imp_iterative_trained_pairs_per_sec_{n_kpts}kpt_1chip",
+        "value": round(pairs_per_sec, 3),
+        "unit": "pairs/s",
+        "vs_baseline": round(pairs_per_sec / REF_GPU_PAIRS_PER_SEC, 3),
+    }), flush=True)
+    return pairs_per_sec
+
+
 def bench_scannet_e2e(model, batch=4, K=12):
     """ScanNet protocol end to end ON DEVICE: SuperPoint extraction on
     480x640 grayscale pairs (1024 keypoints, the reference's scannet_sp.yaml
@@ -239,6 +380,8 @@ def main(selected):
             "imp_sift", DGNNS(cfg("sift")), 2048),
         "imp_iterative_2048": lambda: bench_iterative(
             "imp_iterative_worstcase", DGNNS(cfg()), 2048),
+        "imp_iterative_trained_2048": lambda: bench_iterative_trained(
+            DGNNS(cfg()), 2048),
         "scannet_spp_e2e": lambda: bench_scannet_e2e(DGNNS(cfg())),
     }
     for name in (selected or list(configs)):
