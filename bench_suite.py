@@ -144,7 +144,7 @@ def bench_iterative(name, model, n_kpts, batch=8, K=6,
 
 
 def bench_iterative_trained(model, n_kpts=2048, batch=8, K=6, train_kpts=512,
-                            train_steps=500, num_hypotheses=512,
+                            train_steps=500, num_hypotheses=256,
                             valid_its=None, eval_inlier_frac=0.25,
                             min_kpts=25, pose_stop_deg=1.5):
     """Iterative loop with TRAINED weights on matchable synthetic pairs: the
@@ -167,7 +167,9 @@ def bench_iterative_trained(model, n_kpts=2048, batch=8, K=6, train_kpts=512,
 
     # -------- train briefly on synthetic matchable scenes (rotating batches)
     params = model.init(jax.random.PRNGKey(0))
-    hp = TrainHyperParams(lr=1e-3, decay_iter=10**6)
+    # deep (15-layer) matcher from scratch: clip grads and keep lr moderate
+    # or the first steps blow up and the NaN guard no-ops every update
+    hp = TrainHyperParams(lr=3e-4, decay_iter=10**6, grad_clip=1.0)
     step = make_train_step(model, hp, donate=False)
     opt = make_optimizer(hp).init(params)
     ds = SyntheticMegadepth(num_pairs=128, nfeatures=train_kpts, desc_dim=dim,
@@ -177,9 +179,15 @@ def bench_iterative_trained(model, n_kpts=2048, batch=8, K=6, train_kpts=512,
         samples = [ds[bi * 16 + i] for i in range(16)]
         batches.append({k: jnp.asarray(np.stack([s[k] for s in samples]), jnp.float32)
                         for k in samples[0] if isinstance(samples[0][k], np.ndarray)})
+    import sys
     for it in range(train_steps):
         params, opt, metrics, _ = step(params, opt, jnp.asarray(it),
                                        batches[it % len(batches)], init_stats())
+        if (it + 1) % max(train_steps // 5, 1) == 0:
+            print(f"[train {it + 1}/{train_steps}] loss "
+                  f"{float(metrics['loss']):.3f} acc_corr "
+                  f"{float(metrics['acc_corr']):.1f} bad "
+                  f"{int(metrics['bad_loss'])}", file=sys.stderr, flush=True)
     print(json.dumps({"metric": "iterative_trained_train_acc_corr",
                       "value": round(float(metrics["acc_corr"]), 2),
                       "unit": f"correct matches/pair after {train_steps} steps",

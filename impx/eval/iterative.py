@@ -52,7 +52,8 @@ class IterativeMatcher:
     def __init__(self, model, params, *, norm_thresh: float, match_ratio: float = 0.1,
                  min_kpts: int = 25, pose_stop_deg: float = 1.5,
                  num_hypotheses: int = 1024, with_uncertainty: bool = False,
-                 mscore_base: float = 0.2, valid_its: tuple = VALID_ITS):
+                 mscore_base: float = 0.2, valid_its: tuple = VALID_ITS,
+                 sample_size: int = 5):
         self.model = model
         self.params = params
         self.valid_its = tuple(valid_its)
@@ -61,6 +62,11 @@ class IterativeMatcher:
         self.min_kpts = min_kpts
         self.pose_stop_deg = pose_stop_deg
         self.num_hypotheses = num_hypotheses
+        # 5 = Nistér minimal solver: on the synthetic study it matches or
+        # beats cv2 MAGSAC everywhere, while 8-point minimal sets degrade
+        # sharply with noise+outliers (STATUS.md pose-study table) — pose
+        # stability is what the <=1.5 deg stopping criterion rides on
+        self.sample_size = sample_size
         self.with_uncertainty = with_uncertainty
         self.mscore_base = mscore_base
 
@@ -113,7 +119,7 @@ class IterativeMatcher:
                     last_R, last_t, has_pose, key, norm_thresh):
         """One convergence check; ni is a traced scalar used only to select
         final_proj weights, so this compiles once."""
-        from impx.ransac.pose_solver import estimate_pose_jax
+        from impx.ransac.pose_solver import estimate_pose_from_matches
 
         model, params = self.model, self.params
         # dynamic layer select: stack final_proj weights once, gather at ni
@@ -129,10 +135,10 @@ class IterativeMatcher:
 
         m_valid = idx0[0] > -1
         n_matches = jnp.sum(m_valid)
-        mx0 = x0n
-        mx1 = x1n[jnp.clip(idx0[0], 0, x1n.shape[0] - 1)]
-        pose = estimate_pose_jax(key, mx0, mx1, m_valid, norm_thresh,
-                                 num_hypotheses=self.num_hypotheses)
+        # match-compacted score-weighted RANSAC (see estimate_pose_from_matches)
+        pose = estimate_pose_from_matches(
+            key, x0n, x1n, idx0[0], ms0[0], norm_thresh,
+            num_hypotheses=self.num_hypotheses, sample_size=self.sample_size)
         enough = n_matches >= self.min_kpts
         pose_ok = pose["num_inliers"] >= 5
 
@@ -248,7 +254,7 @@ class BatchedIterativeMatcher(IterativeMatcher):
                             state, keys, norm_threshs):
         """Batched convergence check. x0n/x1n [B,N,2]; keys [B,2] PRNG keys;
         norm_threshs [B]. state carries frozen per-pair results."""
-        from impx.ransac.pose_solver import estimate_pose_jax
+        from impx.ransac.pose_solver import estimate_pose_from_matches
 
         model, params = self.model, self.params
         fw = jnp.stack([p["w"] for p in params["final_proj"]])
@@ -263,13 +269,12 @@ class BatchedIterativeMatcher(IterativeMatcher):
 
         m_valid = idx0 > -1                                   # [B, N]
         n_matches = jnp.sum(m_valid, axis=1)                  # [B]
-        gather = jnp.take_along_axis(
-            x1n, jnp.clip(idx0, 0, x1n.shape[1] - 1)[..., None], axis=1)
 
         pose = jax.vmap(
-            lambda k, a, b, v, th: estimate_pose_jax(
-                k, a, b, v, th, num_hypotheses=self.num_hypotheses)
-        )(keys, x0n, gather, m_valid, norm_threshs)
+            lambda k, a, b, i0, ms, th: estimate_pose_from_matches(
+                k, a, b, i0, ms, th, num_hypotheses=self.num_hypotheses,
+                sample_size=self.sample_size)
+        )(keys, x0n, x1n, idx0, ms0, norm_threshs)
 
         enough = n_matches >= self.min_kpts                   # [B]
         pose_ok = pose["num_inliers"] >= 5

@@ -47,8 +47,9 @@ def iterative_fused_batched(
     match_ratio: float = 0.1,
     min_kpts: int = 25,
     pose_stop_deg: float = 1.5,
-    num_hypotheses: int = 512,
-    sample_size: int = 8,
+    num_hypotheses: int = 256,
+    sample_size: int = 5,
+    ransac_bucket: int = 512,
     with_uncertainty: bool = False,
     mscore_base: float = 0.2,
 ):
@@ -56,7 +57,7 @@ def iterative_fused_batched(
     state dict (indices0 [B,N], mscores0, R, t, has_pose, converged,
     stopped_at)."""
     from impx.ops.pallas.sinkhorn import sinkhorn_fused_stats
-    from impx.ransac.pose_solver import estimate_pose_jax
+    from impx.ransac.pose_solver import estimate_pose_from_matches
 
     cfg = model.config
     assert cfg.norm_fn == "in"
@@ -88,14 +89,15 @@ def iterative_fused_batched(
 
         m_valid = idx0 > -1
         n_matches = jnp.sum(m_valid, axis=1)
-        gathered = jnp.take_along_axis(
-            x1n, jnp.clip(idx0, 0, x1n.shape[1] - 1)[..., None], axis=1)
         pair_keys = jax.random.split(key, b)
+        # match-compacted score-weighted RANSAC: only the matched pairs reach
+        # the solver (bucket of ransac_bucket), minimal sets drawn
+        # PROSAC-style by match score
         pose = jax.vmap(
-            lambda k, a, bb, v, th: estimate_pose_jax(
-                k, a, bb, v, th, num_hypotheses=num_hypotheses,
-                sample_size=sample_size)
-        )(pair_keys, x0n, gathered, m_valid, norm_threshs)
+            lambda k, a, bb, i0, ms, th: estimate_pose_from_matches(
+                k, a, bb, i0, ms, th, bucket=ransac_bucket,
+                num_hypotheses=num_hypotheses, sample_size=sample_size)
+        )(pair_keys, x0n, x1n, idx0, ms0, norm_threshs)
 
         enough = n_matches >= min_kpts
         pose_ok = pose["num_inliers"] >= 5

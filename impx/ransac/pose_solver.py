@@ -74,6 +74,63 @@ def estimate_pose_jax(
     }
 
 
+@functools.partial(jax.jit, static_argnames=("bucket", "num_hypotheses",
+                                             "lo_iterations", "sample_size",
+                                             "weighted"))
+def estimate_pose_from_matches(
+    key,
+    x0n,
+    x1n,
+    indices0,
+    mscores0,
+    norm_thresh,
+    bucket: int = 512,
+    num_hypotheses: int = 256,
+    lo_iterations: int = 4,
+    distance_thresh: float = 1000.0,
+    sample_size: int = 5,
+    weighted: bool = True,
+):
+    """Pose from a matcher's output, on device: compact the matched pairs
+    into a fixed `bucket` (top-`bucket` by match score), run score-weighted
+    (PROSAC-style) RANSAC + cheirality there, and scatter the inlier mask
+    back to keypoint indexing.
+
+    Why: the iterative loop's checkpoints only need the matched pairs
+    (typically a few hundred of N=2048 keypoints) — scoring/triangulating all
+    N wastes ~4x the work, and score-weighted sampling preserves accuracy at
+    a fraction of the uniform hypothesis budget (the two ideas behind
+    cv2 USAC_MAGSAC's PROSAC sampler, reference eval/pose_estimation.py:96).
+
+    x0n/x1n [N,2]/[M,2] normalized coords; indices0 [N] (-1 = unmatched);
+    mscores0 [N]. Returns dict(E, R, t, inliers [N] bool, num_inliers).
+    """
+    n = x0n.shape[0]
+    b = min(bucket, n)
+    keym = jnp.where(indices0 > -1, mscores0, -1.0)
+    vals, sel = jax.lax.top_k(keym, b)          # [b]
+    valid_r = vals > -0.5
+    mx0 = x0n[sel]
+    mx1 = x1n[jnp.clip(indices0[sel], 0, x1n.shape[0] - 1)]
+    w = jnp.where(valid_r, jnp.maximum(vals, 1e-4), 0.0) if weighted else None
+    out = estimate_essential_ransac(
+        key, mx0, mx1, valid_r, norm_thresh,
+        num_hypotheses=num_hypotheses, lo_iterations=lo_iterations,
+        sample_size=sample_size, weights=w)
+    R, t, mask_p, _ = decompose_essential_mat(
+        out["E"], mx0, mx1, distance_thresh=distance_thresh,
+        valid=out["inliers"])
+    inl_full = jnp.zeros((n,), bool).at[sel].set(mask_p & valid_r)
+    return {
+        "E": out["E"],
+        "R": R,
+        "t": t,
+        "inliers": inl_full,
+        "num_inliers": jnp.sum(inl_full),
+        "num_e_inliers": out["num_inliers"],
+    }
+
+
 def estimate_pose_cv2(kpts0, kpts1, K0, K1, norm_thresh, conf: float = 0.99999,
                       method: str = "magsac"):
     """Host OpenCV path, protocol-identical to reference estimate_pose

@@ -39,6 +39,23 @@ def _sample_minimal_sets(key, valid, num_hypotheses: int, sample_size: int):
     return order[r]
 
 
+def _sample_minimal_sets_weighted(key, weights, valid, num_hypotheses: int,
+                                  sample_size: int):
+    """[H, sample_size] indices, drawn WITHOUT replacement per hypothesis with
+    probability proportional to `weights` (Gumbel top-k). The PROSAC idea
+    behind cv2 USAC (reference pose_estimation.py:96-105 uses USAC_MAGSAC):
+    high-confidence matches are likelier inliers, so confidence-weighted
+    minimal sets reach a good hypothesis with far fewer samples than uniform
+    sampling. Cost is a [H, N] top-k — run it on match-compacted points
+    (N <= a few hundred), not raw keypoint sets."""
+    logw = jnp.where(valid & (weights > 0),
+                     jnp.log(jnp.maximum(weights, 1e-20)), -jnp.inf)
+    g = jax.random.gumbel(key, (num_hypotheses, weights.shape[-1]),
+                          dtype=jnp.float32)
+    _, idx = jax.lax.top_k(logw[None, :] + g, sample_size)
+    return idx
+
+
 def _score(E, x0, x1, valid, threshold):
     """MAGSAC-style truncated-quadratic gain + inlier mask for one model."""
     d2 = sampson_distance(x0, x1, E)
@@ -58,6 +75,7 @@ def estimate_essential_ransac(
     num_hypotheses: int = 1024,
     sample_size: int = 8,
     lo_iterations: int = 4,
+    weights: jax.Array | None = None,
 ):
     """x0, x1: [N, 2] normalized camera coordinates; valid: [N] bool;
     threshold: inlier threshold in normalized coordinates (Sampson).
@@ -67,9 +85,17 @@ def estimate_essential_ransac(
     reference eval/pose_estimation.py:96-105); sample_size>=8 uses the
     batched 8-point solver.
 
+    weights: optional [N] sampling confidences (e.g. match scores) —
+    minimal sets are then drawn PROSAC-style proportional to weight, which
+    preserves accuracy at a fraction of the hypothesis budget.
+
     Returns dict(E [3,3], inliers [N] bool, gain scalar, num_inliers).
     """
-    idx = _sample_minimal_sets(key, valid, num_hypotheses, sample_size)  # [H, S]
+    if weights is not None:
+        idx = _sample_minimal_sets_weighted(
+            key, weights, valid, num_hypotheses, sample_size)  # [H, S]
+    else:
+        idx = _sample_minimal_sets(key, valid, num_hypotheses, sample_size)
     sx0 = x0[idx]  # [H, S, 2]
     sx1 = x1[idx]
     if sample_size == 5:

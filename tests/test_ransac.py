@@ -84,3 +84,54 @@ def test_ransac_vs_cv2_magsac():
     err_jax = float(G.angle_error_mat(jnp.asarray(R), out["R"]))
     # within 1 degree of the OpenCV result's accuracy on this easy scene
     assert err_jax < err_cv + 1.0, (err_jax, err_cv)
+
+
+def test_estimate_pose_from_matches_weighted():
+    """Match-compacted score-weighted RANSAC (the iterative checkpoints'
+    solver): recovers the pose from a matcher-style output — indices0 with
+    -1 for unmatched, higher scores on true matches — at a small hypothesis
+    budget, and scatters inliers back to keypoint indexing."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from impx.data.synthetic import synthesize_pair
+    from impx.geometry.pose import compute_pose_error_np
+    from impx.ransac.pose_solver import estimate_pose_from_matches
+
+    rs = np.random.RandomState(7)
+    pair = synthesize_pair(rs, n_inliers=200, n_outliers0=200, n_outliers1=200,
+                           desc_dim=16, image_size=(480, 640))
+    K = pair["K1"]
+    k0, k1 = pair["kpt1"][:, :2], pair["kpt2"][:, :2]
+    x0n = (k0 - K[:2, 2]) / np.array([K[0, 0], K[1, 1]])
+    x1n = (k1 - K[:2, 2]) / np.array([K[0, 0], K[1, 1]])
+    n = len(k0)
+
+    # matcher-style output: true matches scored high, 30% random wrong
+    # matches scored low, rest unmatched
+    idx0 = np.full(n, -1, np.int32)
+    ms0 = np.zeros(n, np.float32)
+    for a, b in pair["gt_matches"]:
+        idx0[a] = b
+        ms0[a] = rs.uniform(0.5, 1.0)
+    unmatched = np.where(idx0 == -1)[0]
+    wrong = unmatched[: len(unmatched) // 3]
+    idx0[wrong] = rs.randint(0, len(k1), len(wrong))
+    ms0[wrong] = rs.uniform(0.05, 0.3, len(wrong))
+
+    out = estimate_pose_from_matches(
+        jax.random.PRNGKey(0), jnp.asarray(x0n), jnp.asarray(x1n),
+        jnp.asarray(idx0), jnp.asarray(ms0), 2e-3,
+        bucket=256, num_hypotheses=128, sample_size=5)
+    T = np.eye(4)
+    T[:3, :3] = pair["R"]
+    T[:3, 3] = pair["T"]
+    err_t, err_R = compute_pose_error_np(T, np.asarray(out["R"]),
+                                         np.asarray(out["t"]))
+    assert max(err_R, err_t) < 3.0, (err_R, err_t)
+    inl = np.asarray(out["inliers"])
+    # inliers live only on matched keypoints, mostly the true ones
+    assert not inl[idx0 == -1].any()
+    true_set = set(pair["gt_matches"][:, 0].tolist())
+    frac_true = np.mean([i in true_set for i in np.where(inl)[0]])
+    assert frac_true > 0.9, frac_true
