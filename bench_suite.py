@@ -237,8 +237,14 @@ def bench_iterative_trained(model, n_kpts=2048, batch=8, K=6, train_kpts=512,
     extra = {} if valid_its is None else {"valid_its": tuple(valid_its)}
 
     def run_one(stacked, d, key):
+        # one key REUSED at every checkpoint: consecutive checkpoints then
+        # draw the same minimal sets (modulo match changes), so the pose-diff
+        # stopping test measures the matcher's change, not RANSAC sampling
+        # noise (cv2's deterministic seeding has the same effect in the
+        # reference loop)
+        layer_keys = jnp.tile(key[None, :], (model.config.n_layers, 1))
         return iterative_fused_batched(
-            model, stacked, d, jax.random.split(key, model.config.n_layers),
+            model, stacked, d, layer_keys,
             nts, num_hypotheses=num_hypotheses, min_kpts=min_kpts,
             pose_stop_deg=pose_stop_deg, **extra)
 
