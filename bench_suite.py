@@ -112,6 +112,10 @@ def bench_iterative(name, model, n_kpts, batch=8, K=6,
             out = iterative_fused_batched(
                 model, stacked, d, jax.random.split(key, model.config.n_layers),
                 nts, num_hypotheses=num_hypotheses,
+                # keep the published worst-case floor reproducible: this
+                # config predates (and pins) the 8-pt/uniform checkpoint
+                # solver; the trained config below uses the 5-pt default
+                sample_size=8,
                 with_uncertainty=with_uncertainty)
             return acc + jnp.sum(out["mscores0"]) + jnp.sum(out["stopped_at"]), None
         return jax.lax.scan(body, jnp.zeros(()), (stack, keys))[0]
@@ -194,8 +198,7 @@ def bench_iterative_trained(model, n_kpts=2048, batch=8, K=6, train_kpts=512,
                       "vs_baseline": 0}), flush=True)
 
     # -------- matchable eval stream at the full keypoint budget
-    def pad(a, n):
-        return np.pad(a, [(0, n - a.shape[0])] + [(0, 0)] * (a.ndim - 1))
+    from impx.data.synthetic import eval_feed_from_pair
 
     def eval_stack(seed):
         rs = np.random.RandomState(seed)
@@ -206,22 +209,7 @@ def bench_iterative_trained(model, n_kpts=2048, batch=8, K=6, train_kpts=512,
                                    n_outliers0=n_kpts - n_in,
                                    n_outliers1=n_kpts - n_in,
                                    desc_dim=dim, image_size=(480, 640))
-            k0 = pad(pair["kpt1"][:n_kpts], n_kpts)
-            k1 = pad(pair["kpt2"][:n_kpts], n_kpts)
-            h, w = pair["img_size1"]
-            size = np.array([w, h], np.float32)
-            Kin = pair["K1"]
-            feeds.append({
-                "descriptors0": pad(pair["desc1"][:n_kpts], n_kpts),
-                "descriptors1": pad(pair["desc2"][:n_kpts], n_kpts),
-                "norm_keypoints0": (k0[:, :2] - size / 2 - 0.5) / (size.max() * 0.7),
-                "norm_keypoints1": (k1[:, :2] - size / 2 - 0.5) / (size.max() * 0.7),
-                "scores0": k0[:, 2], "scores1": k1[:, 2],
-                "valid0": np.arange(n_kpts) < len(pair["kpt1"][:n_kpts]),
-                "valid1": np.arange(n_kpts) < len(pair["kpt2"][:n_kpts]),
-                "x0n": (k0[:, :2] - Kin[:2, 2]) / np.array([Kin[0, 0], Kin[1, 1]]),
-                "x1n": (k1[:, :2] - Kin[:2, 2]) / np.array([Kin[0, 0], Kin[1, 1]]),
-            })
+            feeds.append(eval_feed_from_pair(pair, n_kpts))
             poses.append((pair["R"], pair["T"]))
         stack = {k: jnp.asarray(
             np.stack([f[k] for f in feeds]).reshape(

@@ -107,6 +107,35 @@ def synthesize_pair(
     }
 
 
+def eval_feed_from_pair(pair, n_kpts: int):
+    """Fixed-shape matcher feed (numpy, unbatched) from a synthesize_pair
+    dict: padded descriptors/keypoints/scores + validity masks, SuperGlue
+    keypoint normalization (the SAME (k - size/2 - 0.5) / (0.7*max) rule as
+    training_sample — keep this convention in ONE place), and
+    intrinsics-normalized x0n/x1n for the pose solvers."""
+    def pad(a):
+        return np.pad(a, [(0, n_kpts - a.shape[0])] + [(0, 0)] * (a.ndim - 1))
+
+    k0 = pad(pair["kpt1"][:n_kpts])
+    k1 = pad(pair["kpt2"][:n_kpts])
+    h, w = pair["img_size1"]
+    size = np.array([w, h], np.float32)
+    K = pair["K1"]
+    f = np.array([K[0, 0], K[1, 1]])
+    return {
+        "descriptors0": pad(pair["desc1"][:n_kpts]),
+        "descriptors1": pad(pair["desc2"][:n_kpts]),
+        "norm_keypoints0": (k0[:, :2] - size / 2 - 0.5) / (size.max() * 0.7),
+        "norm_keypoints1": (k1[:, :2] - size / 2 - 0.5) / (size.max() * 0.7),
+        "scores0": k0[:, 2],
+        "scores1": k1[:, 2],
+        "valid0": np.arange(n_kpts) < min(len(pair["kpt1"]), n_kpts),
+        "valid1": np.arange(n_kpts) < min(len(pair["kpt2"]), n_kpts),
+        "x0n": (k0[:, :2] - K[:2, 2]) / f,
+        "x1n": (k1[:, :2] - K[:2, 2]) / f,
+    }
+
+
 def write_eval_hdf5(path: str, num_pairs: int, seed: int = 0, **pair_kwargs):
     """Write a standard_reader-layout HDF5 of synthetic pairs
     (reference dump/dumper/base_dumper.py:78-111 `form_standard_dataset`)."""

@@ -36,7 +36,8 @@ from impx.ops.matching import matches_from_stats
 
 @partial(jax.jit, static_argnames=(
     "model", "valid_its", "match_ratio", "min_kpts", "pose_stop_deg",
-    "num_hypotheses", "sample_size", "with_uncertainty", "mscore_base"))
+    "num_hypotheses", "sample_size", "ransac_bucket", "with_uncertainty",
+    "mscore_base"))
 def iterative_fused_batched(
     model,
     stacked: dict,

@@ -105,6 +105,9 @@ def estimate_pose_from_matches(
     x0n/x1n [N,2]/[M,2] normalized coords; indices0 [N] (-1 = unmatched);
     mscores0 [N]. Returns dict(E, R, t, inliers [N] bool, num_inliers).
     """
+    from impx.geometry.epipolar import sampson_distance
+    from impx.geometry.triangulation import cheirality_mask, triangulate_points
+
     n = x0n.shape[0]
     b = min(bucket, n)
     keym = jnp.where(indices0 > -1, mscores0, -1.0)
@@ -117,10 +120,24 @@ def estimate_pose_from_matches(
         key, mx0, mx1, valid_r, norm_thresh,
         num_hypotheses=num_hypotheses, lo_iterations=lo_iterations,
         sample_size=sample_size, weights=w)
-    R, t, mask_p, _ = decompose_essential_mat(
+    R, t, _, _ = decompose_essential_mat(
         out["E"], mx0, mx1, distance_thresh=distance_thresh,
         valid=out["inliers"])
-    inl_full = jnp.zeros((n,), bool).at[sel].set(mask_p & valid_r)
+
+    # the compaction is a solver-internal detail: the returned inlier mask
+    # must cover EVERY match (a match-rich pair can have more than `bucket`
+    # matches, and the reference keeps all pose-inliers). One full-length
+    # Sampson + ONE cheirality pass at the selected pose restores that at a
+    # fraction of the 4-hypothesis decomposition cost.
+    m_valid = indices0 > -1
+    fx1 = x1n[jnp.clip(indices0, 0, x1n.shape[0] - 1)]
+    d2 = sampson_distance(x0n, fx1, out["E"])
+    e_inl_full = (d2 < norm_thresh * norm_thresh) & m_valid
+    P0 = jnp.concatenate([jnp.eye(3), jnp.zeros((3, 1))], axis=1)
+    P1 = jnp.concatenate([R, t[:, None]], axis=1)
+    pts4d = triangulate_points(P0, P1, x0n, fx1)
+    inl_full = cheirality_mask(pts4d, P1, distance_thresh,
+                               valid=e_inl_full)
     return {
         "E": out["E"],
         "R": R,
