@@ -150,7 +150,9 @@ def bench_iterative(name, model, n_kpts, batch=8, K=6,
 def bench_iterative_trained(model, n_kpts=2048, batch=8, K=6, train_kpts=512,
                             train_steps=500, num_hypotheses=256,
                             valid_its=None, eval_inlier_frac=0.25,
-                            min_kpts=25, pose_stop_deg=1.5):
+                            min_kpts=25, pose_stop_deg=1.5,
+                            with_uncertainty=False, name="imp",
+                            train_model=None):
     """Iterative loop with TRAINED weights on matchable synthetic pairs: the
     early-stop case (converged pairs flip the whole scan to the identity
     branch). This is the deployment-relevant number — the worst-case config
@@ -170,11 +172,15 @@ def bench_iterative_trained(model, n_kpts=2048, batch=8, K=6, train_kpts=512,
     dim = model.config.descriptor_dim
 
     # -------- train briefly on synthetic matchable scenes (rotating batches)
-    params = model.init(jax.random.PRNGKey(0))
+    # train_model: e.g. train DGNNS on the differentiable scan fast path and
+    # bench the SAME weights under AdaGMN's uncertainty pooling (identical
+    # parameter structure; EIMP is IMP + pooling, reference adgm.py:15)
+    tm = train_model if train_model is not None else model
+    params = tm.init(jax.random.PRNGKey(0))
     # deep (15-layer) matcher from scratch: clip grads and keep lr moderate
     # or the first steps blow up and the NaN guard no-ops every update
     hp = TrainHyperParams(lr=3e-4, decay_iter=10**6, grad_clip=1.0)
-    step = make_train_step(model, hp, donate=False)
+    step = make_train_step(tm, hp, donate=False)
     opt = make_optimizer(hp).init(params)
     ds = SyntheticMegadepth(num_pairs=128, nfeatures=train_kpts, desc_dim=dim,
                             seed=0)
@@ -234,7 +240,8 @@ def bench_iterative_trained(model, n_kpts=2048, batch=8, K=6, train_kpts=512,
         return iterative_fused_batched(
             model, stacked, d, layer_keys,
             nts, num_hypotheses=num_hypotheses, min_kpts=min_kpts,
-            pose_stop_deg=pose_stop_deg, **extra)
+            pose_stop_deg=pose_stop_deg, with_uncertainty=with_uncertainty,
+            **extra)
 
     @jax.jit
     def run_stream(stacked, stack, keys):
@@ -278,7 +285,7 @@ def bench_iterative_trained(model, n_kpts=2048, batch=8, K=6, train_kpts=512,
         best = dt if best is None else min(best, dt)
     pairs_per_sec = K * batch / best
     print(json.dumps({
-        "metric": f"imp_iterative_trained_pairs_per_sec_{n_kpts}kpt_1chip",
+        "metric": f"{name}_iterative_trained_pairs_per_sec_{n_kpts}kpt_1chip",
         "value": round(pairs_per_sec, 3),
         "unit": "pairs/s",
         "vs_baseline": round(pairs_per_sec / REF_GPU_PAIRS_PER_SEC, 3),
@@ -384,6 +391,10 @@ def main(selected):
             "imp_iterative_worstcase", DGNNS(cfg()), 2048),
         "imp_iterative_trained_2048": lambda: bench_iterative_trained(
             DGNNS(cfg()), 2048),
+        "eimp_iterative_trained_2048": lambda: (
+            lambda c: bench_iterative_trained(
+                AdaGMN(c), 2048, with_uncertainty=True, name="eimp",
+                train_model=DGNNS(c)))(cfg()),
         "scannet_spp_e2e": lambda: bench_scannet_e2e(DGNNS(cfg())),
     }
     for name in (selected or list(configs)):
