@@ -181,12 +181,16 @@ def evaluate(model, params, reader, error_th: float, eval_config: dict, args) ->
     # eval_batch should be a multiple of the device count)
     shard = lambda b: b  # noqa: E731
     if getattr(args, "data_parallel", False) and len(jax.devices()) > 1:
-        from impx.parallel.mesh import make_mesh, replicate, shard_batch
+        if args.use_iterative:
+            print("WARNING: --data_parallel only shards the non-iterative "
+                  "batched path; the iterative loop runs single-device")
+        else:
+            from impx.parallel.mesh import make_mesh, replicate, shard_batch
 
-        mesh = make_mesh()
-        params = replicate(mesh, params)
-        shard = lambda b: shard_batch(mesh, b)  # noqa: E731
-        print(f"data-parallel eval over {len(jax.devices())} devices")
+            mesh = make_mesh()
+            params = replicate(mesh, params)
+            shard = lambda b: shard_batch(mesh, b)  # noqa: E731
+            print(f"data-parallel eval over {len(jax.devices())} devices")
 
     evaluator = AucEval({**eval_config, "pose_backend": args.pose_backend})
     key = jax.random.PRNGKey(0)
@@ -199,7 +203,7 @@ def evaluate(model, params, reader, error_th: float, eval_config: dict, args) ->
         from impx.eval.iterative import BatchedIterativeMatcher
         from impx.ransac.pose_solver import _norm_threshold
 
-        eb = args.eval_batch
+        eb = getattr(args, "eval_batch", 4)
         matcher = None
         index = 0
         while index < n_pairs:
@@ -350,39 +354,9 @@ def evaluate(model, params, reader, error_th: float, eval_config: dict, args) ->
             stop_its.append(model.config.n_layers)
         t_device += time.time() - t0
 
-        valid = matches > -1
-        mkpts0 = x0[valid, :2]
-        mkpts1 = x1[np.clip(matches[valid], 0, bucket - 1), :2]
-        T_0to1 = np.hstack([info["r_gt"], info["t_gt"].reshape(3, 1)])
-
-        # precision / matching score against GT E (numpy: host math must not
-        # dispatch eager device ops per pair)
-        norm_m0 = _normalize_intrinsic_np(mkpts0, K0)
-        norm_m1 = _normalize_intrinsic_np(mkpts1, K1)
-        if len(norm_m0) > 0:
-            from impx.geometry.epipolar import compute_epi_inlier_np
-
-            correct = compute_epi_inlier_np(norm_m0, norm_m1, info["e"], 0.005)
-            precision = float(correct.mean())
-            matching_score = float(correct.sum() / max(len(info["x1"]), 1))
-        else:
-            precision = matching_score = 0.0
-
-        if has_pose:
-            err_t, err_R = compute_pose_error_np(T_0to1, pred_R, pred_t)
-        else:
-            from impx.ransac.pose_solver import estimate_pose
-
-            ret = estimate_pose(mkpts0, mkpts1, K0, K1, error_th) if len(mkpts0) >= 5 else None
-            if ret is None:
-                err_t = err_R = np.inf
-            else:
-                _, R_est, t_est, _ = ret
-                err_t, err_R = compute_pose_error_np(T_0to1, R_est, t_est)
-
-        pose_errors.append(max(err_R, err_t))
-        precisions.append(precision)
-        matching_scores.append(matching_score)
+        _score_pair(info, x0, x1, matches, bucket, pose_errors, precisions,
+                    matching_scores, error_th, pred_R=pred_R, pred_t=pred_t,
+                    has_pose=has_pose)
 
         if (index + 1) % 100 == 0 or index + 1 == n_pairs:
             aucs = [100 * a for a in pose_metrics.pose_auc(pose_errors, thresholds)]

@@ -5,9 +5,11 @@ call the reference makes *inside* its iterative matching loop
 (eval/matching.py:84-87), forcing a device->host round-trip per iteration.
 Here the whole hypothesize-and-verify pipeline is fixed-shape jnp:
 
-  1. sample H minimal subsets at once (Gumbel top-k over valid points =
-     uniform sampling without replacement, no rejection loops);
-  2. solve all hypotheses with the batched 8-point solver (one vmapped eigh);
+  1. sample H minimal subsets at once — uniform via random draws into a
+     dense valid-index table (rare within-sample collisions just score low),
+     or PROSAC-style weighted via Gumbel top-k when confidences are given;
+  2. solve all hypotheses with the batched 8-point solver (Cholesky inverse
+     iteration — no eigh) or the Nistér 5-point minimal solver;
   3. score all hypotheses against all points in one [H, N] Sampson-distance
      matrix with a MAGSAC-style truncated-quadratic gain;
   4. local optimization: iteratively reweighted least squares on the best
@@ -106,7 +108,11 @@ def estimate_essential_ransac(
         gains, _, _ = jax.vmap(lambda E: _score(E, x0, x1, valid, threshold))(Es)
         gains = jnp.where(ok.reshape(-1), gains, -jnp.inf)
     else:
-        Es = essential_from_points(sx0, sx1)  # [H, 3, 3]
+        # project=False: scoring tolerates near-essential candidates, and the
+        # per-hypothesis polar/eigen projection would dominate the checkpoint
+        # cost at H hypotheses; the winner is refined (and projected) by the
+        # IRLS loop below
+        Es = essential_from_points(sx0, sx1, project=False)  # [H, 3, 3]
         gains, _, _ = jax.vmap(lambda E: _score(E, x0, x1, valid, threshold))(Es)
     best = jnp.argmax(gains)
     E = Es[best]

@@ -228,9 +228,15 @@ class Trainer:
                         f"steps this interval (max consecutive {int(max_bad)})")
                 loss_sum += mean_loss * good
                 n_good += good
+                # reset interval accumulators but CARRY the consecutive-bad
+                # counter: a NaN run spanning an interval boundary must still
+                # trip the 10-strike abort (reference trainer.py:119-150)
+                carry_bad = stats["consec_bad"]
                 stats = init_stats()
+                stats["consec_bad"] = carry_bad
+                stats["max_consec_bad"] = carry_bad
 
-        if metrics is not None and jnp.asarray(stats["n_good"]).size:  # tail
+        if metrics is not None and float(stats["n_good"]) > 0:  # tail flush
             s = {k: float(v) for k, v in stats.items()}
             if s["max_consec_bad"] >= 10:
                 self.writer.text("Abort epoch: >=10 consecutive INF/NAN losses")
