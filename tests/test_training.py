@@ -135,3 +135,34 @@ def test_checkpoint_roundtrip(tmp_path):
     assert trainer2.epoch == 8 and trainer2.iteration == 123
     for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(p2)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_nan_abort_spans_log_intervals(tmp_path):
+    """The 10-consecutive-NaN epoch abort must count ACROSS log-interval
+    boundaries (reference trainer.py:119-150 counts per step): with
+    log_intervals=3 a permanently-poisoned dataset still aborts the epoch."""
+    import argparse
+
+    from impx.train.trainer import Trainer
+
+    class PoisonedDataset(SyntheticMegadepth):
+        def __getitem__(self, idx):
+            s = super().__getitem__(idx)
+            s["descriptors0"] = s["descriptors0"] * np.nan
+            return s
+
+    model = _tiny_model()
+    ds = PoisonedDataset(num_pairs=256, nfeatures=32, desc_dim=32)
+    args = argparse.Namespace(
+        lr=1e-4, network="gm", feature="spp", batch_size=8, epochs=1,
+        save_path=str(tmp_path), max_keypoints=32, its_per_epoch=20,
+        log_intervals=3)
+    trainer = Trainer(model, ds, args)
+    params = model.init(jax.random.PRNGKey(4))
+    opt_state = trainer.tx.init(params)
+    params = replicate(trainer.mesh, params)
+    opt_state = replicate(trainer.mesh, opt_state)
+    _, _, epoch_loss = trainer.process_epoch(params, opt_state)
+    assert epoch_loss is None  # aborted, not ground through all 20 steps
+    log = open(f"{trainer.save_dir}/log.txt").read()
+    assert "Abort epoch" in log  # the abort fired, not an empty epoch
