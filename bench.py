@@ -9,20 +9,39 @@ configuration behind the reference's YFCC table (BASELINE.md). The reference
 publishes no throughput number; the baseline constant below is the
 reference's measured torch fp32 forward on its stated eval GPU class
 (~25-40ms/pair on a 2080Ti at 2000 kpts => 35 pairs/s; see BASELINE.md
-"Training footprint" hardware). vs_baseline = our pairs/s / 35.
+"Training footprint" hardware). That 35 pairs/s is an ESTIMATE, not a
+published figure — every vs_baseline value inherits its uncertainty
+(STATUS.md states the assumption alongside the perf table).
+
+Relay-robust design (round 3): benchmark inputs are generated INSIDE the
+timed jitted program (jax.random from a per-step folded key in the scan
+body), so NOTHING larger than the model params (~27 MB program constants)
+ever crosses the relay in either direction — no host->device stack uploads
+(round 2's bench timed out uploading ~4 GB through a ~2 MB/s relay) and no
+device->host array fetches. Generation cost is ~17 MB of threefry bits per
+~250 ms matcher step: well under 1% of the timed region, and identical
+across all configurations being compared. The JSON line is emitted as soon
+as a wall-clock budget is hit, so a slow day degrades the sample count,
+never the parse.
 """
 from __future__ import annotations
 
 import json
 import time
 
-import numpy as np
-
 REF_GPU_PAIRS_PER_SEC = 35.0  # estimated reference throughput (see docstring)
+
+# Emit the JSON after the first timed run if this much wall-clock has gone by
+# since process start (compile + warm-up included). Driver windows are finite;
+# a parsed single-run number beats an unparsed best-of-three.
+SOFT_BUDGET_SEC = 20 * 60.0
 
 
 def main():
     import os
+    import sys
+
+    t_process_start = time.time()
 
     import jax
     import jax.numpy as jnp
@@ -38,11 +57,12 @@ def main():
             f"bench.py requires a TPU backend (got {jax.default_backend()!r}); "
             "set BENCH_ALLOW_CPU=1 to measure the interpreter anyway")
 
-    n_kpts = 2048
-    batch = 4  # pairs per device step
+    smoke = bool(os.environ.get("BENCH_SMOKE"))  # tiny shapes: logic check only
+    n_kpts = 128 if smoke else 2048
+    batch = 2 if smoke else 4  # pairs per device step
     cfg = dataclasses.replace(
-        MatcherConfig.eval_config("spp", n_layers=15),
-        attn_impl="pallas",        # fused attention via the scan fast path
+        MatcherConfig.eval_config("spp", n_layers=3 if smoke else 15),
+        attn_impl="xla" if smoke else "pallas",  # fused attention fast path
         compute_dtype="bfloat16",  # MXU-native attention matmuls
     )
     model = DGNNS(cfg)
@@ -51,70 +71,63 @@ def main():
     # Measurement notes (this environment's TPU is reached through a remote
     # relay): block_until_ready does not actually await remote completion and
     # identical (program, args) executions are result-cached, so the only
-    # honest timing is: ONE jitted program that scans over K *distinct*
-    # batches and returns a scalar, timed on a dataset different from the
-    # warm-up run, with a value readback inside the timed region. K is sized
-    # so the ~28 ms fixed relay round-trip is <2% of the timed region (the
-    # metric is sustained device throughput; production streams continuously).
-    K = 48
-
-    def make_stack(seed):
-        r = np.random.RandomState(seed)
-        return {
-            "descriptors0": jnp.asarray(r.randn(K, batch, n_kpts, 256), jnp.float32),
-            "descriptors1": jnp.asarray(r.randn(K, batch, n_kpts, 256), jnp.float32),
-            "norm_keypoints0": jnp.asarray(r.rand(K, batch, n_kpts, 2) - 0.5, jnp.float32),
-            "norm_keypoints1": jnp.asarray(r.rand(K, batch, n_kpts, 2) - 0.5, jnp.float32),
-            "scores0": jnp.asarray(r.rand(K, batch, n_kpts), jnp.float32),
-            "scores1": jnp.asarray(r.rand(K, batch, n_kpts), jnp.float32),
-        }
+    # honest timing is: ONE jitted program that generates + matches K
+    # *distinct* batches (distinct per-step folded RNG keys, seed as the only
+    # argument) and returns a scalar, timed with a value readback, on a seed
+    # different from the warm-up runs. K is sized so the ~28 ms fixed relay
+    # round-trip is <2% of the timed region (the metric is sustained device
+    # throughput; production streams continuously).
+    K = 4 if smoke else 48
+    dim = cfg.descriptor_dim
 
     @jax.jit
-    def run_stream(p, stack):
-        def body(acc, d):
+    def run_stream(p, seed):
+        def body(acc, k):
+            ks = jax.random.split(jax.random.fold_in(jax.random.PRNGKey(0), seed + k), 6)
+            d = {
+                "descriptors0": jax.random.normal(ks[0], (batch, n_kpts, dim), jnp.float32),
+                "descriptors1": jax.random.normal(ks[1], (batch, n_kpts, dim), jnp.float32),
+                "norm_keypoints0": jax.random.uniform(ks[2], (batch, n_kpts, 2)) - 0.5,
+                "norm_keypoints1": jax.random.uniform(ks[3], (batch, n_kpts, 2)) - 0.5,
+                "scores0": jax.random.uniform(ks[4], (batch, n_kpts)),
+                "scores1": jax.random.uniform(ks[5], (batch, n_kpts)),
+            }
             out = model.produce_matches(p, d, p=0.2, only_last=True,
                                         with_scores=False)
             return acc + jnp.sum(out["mscores0"][-1]), None
-        acc, _ = jax.lax.scan(body, jnp.zeros(()), stack)
+        acc, _ = jax.lax.scan(body, jnp.zeros(()), jnp.arange(K) * 1000)
         return acc
-
-    @jax.jit
-    def touch(stack):
-        # force host->device upload BEFORE timing: transfers in this
-        # environment are relay-bound and lazy, and the metric is device
-        # compute throughput (production pipelines overlap transfers)
-        return sum(jnp.sum(v) for v in stack.values())
-
-    import sys
 
     def note(msg):
         print(f"[bench] {msg}", file=sys.stderr, flush=True)
 
-    warm = make_stack(1)
-    note("uploading warm-up stack")
-    float(touch(warm))
-    note("compiling + first run")
-    float(run_stream(params, warm))  # compile + warm (value readback = sync)
-    note("second warm run")
-    float(run_stream(params, make_stack(9)))  # second warm (relay warm-up)
+    def emit(times):
+        best = min(times)
+        pairs_per_sec = K * batch / best
+        print(json.dumps({
+            "metric": "imp_matcher_pairs_per_sec_2048kpt_1chip",
+            "value": round(pairs_per_sec, 3),
+            "unit": "pairs/s",
+            "vs_baseline": round(pairs_per_sec / REF_GPU_PAIRS_PER_SEC, 3),
+        }), flush=True)
 
-    best = None
-    for seed in (2, 3, 4):
-        stack = make_stack(seed)
-        float(touch(stack))
+    note("compiling + first run")
+    float(run_stream(params, jnp.asarray(1_000_000)))  # compile + warm (readback = sync)
+    note("second warm run")
+    float(run_stream(params, jnp.asarray(9_000_000)))  # relay warm-up, distinct data
+
+    times = []
+    for seed in (2_000_000, 3_000_000, 4_000_000):
         t0 = time.perf_counter()
-        float(run_stream(params, stack))
+        float(run_stream(params, jnp.asarray(seed)))
         dt = time.perf_counter() - t0
         note(f"timed run seed={seed}: {dt:.3f}s")
-        best = dt if best is None else min(best, dt)
+        times.append(dt)
+        if time.time() - t_process_start > SOFT_BUDGET_SEC:
+            note("soft budget reached — emitting with runs so far")
+            break
 
-    pairs_per_sec = K * batch / best
-    print(json.dumps({
-        "metric": "imp_matcher_pairs_per_sec_2048kpt_1chip",
-        "value": round(pairs_per_sec, 3),
-        "unit": "pairs/s",
-        "vs_baseline": round(pairs_per_sec / REF_GPU_PAIRS_PER_SEC, 3),
-    }))
+    emit(times)
 
 
 if __name__ == "__main__":
