@@ -68,17 +68,61 @@ def _padd(p: dict, q: dict, sq: float = 1.0) -> dict:
     return out
 
 
-def _null_basis(x0: jax.Array, x1: jax.Array):
-    """Null-space basis of the 5x9 epipolar system (x1ᵀ E x0 row layout:
-    E flattened row-major, constraint rows kron(x1h, x0h))."""
+def _epipolar_system(x0: jax.Array, x1: jax.Array) -> jax.Array:
+    """[..., 5, 9] epipolar system (x1ᵀ E x0 row layout: E flattened
+    row-major, constraint rows kron(x1h, x0h))."""
     ones = jnp.ones(x0.shape[:-1] + (1,), x0.dtype)
     p0 = jnp.concatenate([x0, ones], axis=-1)  # [..., 5, 3]
     p1 = jnp.concatenate([x1, ones], axis=-1)
     # A[..., i, 3*r+c] = p1[i, r] * p0[i, c]
-    A = (p1[..., :, :, None] * p0[..., :, None, :]).reshape(*x0.shape[:-2], 5, 9)
+    return (p1[..., :, :, None] * p0[..., :, None, :]).reshape(
+        *x0.shape[:-2], 5, 9)
+
+
+def _null_basis_svd(x0: jax.Array, x1: jax.Array):
+    """SVD null space — the numerical oracle (batched SVD is an iterative
+    Jacobi chain on TPU: accurate but the latency bottleneck of the whole
+    5-point solve; production uses the Householder path below)."""
+    A = _epipolar_system(x0, x1)
     _, _, vt = jnp.linalg.svd(A, full_matrices=True)
     basis = vt[..., 5:9, :]                      # [..., 4, 9]
     return basis.reshape(*basis.shape[:-1], 3, 3)  # [..., 4, 3, 3] = X, Y, Z, W
+
+
+def _null_basis(x0: jax.Array, x1: jax.Array):
+    """Null-space basis of the 5x9 epipolar system via 5 Householder
+    reflections (QR of Aᵀ): Aᵀ = QR with Q [..., 9, 9] orthogonal, so
+    columns 5..8 of Q are an orthonormal basis of null(A).
+
+    Why not SVD: jnp.linalg.svd on [..., 5, 9] lowers to an iterative Jacobi
+    sweep on TPU — hundreds of serialized tiny ops per RANSAC checkpoint.
+    Five static rank-1 Householder updates are ~10 small fused matmuls with
+    no data-dependent iteration at all. Degenerate samples (rank < 5) leave
+    a near-zero R diagonal; their candidates simply score low in RANSAC —
+    the same contract as the SVD path."""
+    A = _epipolar_system(x0, x1)
+    dt = A.dtype
+    M = jnp.swapaxes(A, -1, -2)                  # [..., 9, 5]
+    batch = M.shape[:-2]
+    Q = jnp.broadcast_to(jnp.eye(9, dtype=dt), batch + (9, 9))
+    rows = jnp.arange(9)
+    for k in range(5):
+        x = jnp.where(rows >= k, M[..., :, k], 0.0)          # [..., 9]
+        nrm = jnp.sqrt(jnp.sum(x * x, axis=-1, keepdims=True))
+        xk = x[..., k:k + 1]
+        sign = jnp.where(xk >= 0, 1.0, -1.0)
+        e_k = (rows == k).astype(dt)
+        v = x + sign * nrm * e_k
+        vn = jnp.sqrt(jnp.sum(v * v, axis=-1, keepdims=True))
+        # zero column (degenerate sample): skip the reflection cleanly
+        v = jnp.where(vn > 1e-20, v / jnp.maximum(vn, 1e-20), 0.0)
+        # M <- H M ; Q <- Q H   (H = I − 2 v vᵀ)
+        M = M - 2.0 * v[..., :, None] * jnp.einsum("...r,...rc->...c",
+                                                   v, M)[..., None, :]
+        Q = Q - 2.0 * jnp.einsum("...rc,...c->...r", Q, v)[..., :, None] \
+            * v[..., None, :]
+    basis = jnp.swapaxes(Q[..., :, 5:9], -1, -2)  # [..., 4, 9]
+    return basis.reshape(*basis.shape[:-1], 3, 3)  # [..., 4, 3, 3]
 
 
 def _equations(basis: jax.Array) -> list[dict]:
@@ -217,7 +261,9 @@ def solve_essential_5pt(x0: jax.Array, x1: jax.Array, grid: int = 512):
         return (jnp.where(left, mid, lo), jnp.where(left, hi, mid),
                 jnp.where(left, g_mid, g_lo))
 
-    lo, hi, _ = jax.lax.fori_loop(0, 45, bisect, (lo, hi, g_lo))
+    # 28 halvings of a pi/(grid-1) interval reach ~2e-11 — far beyond fp32
+    # resolution already (45 was pure latency-chain waste)
+    lo, hi, _ = jax.lax.fori_loop(0, 28, bisect, (lo, hi, g_lo))
     z = jnp.tan(0.5 * (lo + hi))                   # [..., R]
 
     # ---- back-substitute (x, y) per root via 3x2 least squares -------------
@@ -246,6 +292,16 @@ def solve_essential_5pt(x0: jax.Array, x1: jax.Array, grid: int = 512):
 
     E = project_essential(E)
     E = E / (jnp.linalg.norm(E, axis=(-2, -1), keepdims=True) + 1e-12)
+    # self-validation: every returned candidate must actually satisfy the 5
+    # epipolar constraints it was solved from. An ill-conditioned (x, y)
+    # back-substitution (the elimination's conditioning depends on the null-
+    # basis orientation) can produce a root whose E is off by ~1e-1 — filter
+    # those out here instead of relying on downstream RANSAC scoring.
+    ones = jnp.ones(x0.shape[:-1] + (1,), dt)
+    p0h = jnp.concatenate([x0, ones], axis=-1)   # [..., 5, 3]
+    p1h = jnp.concatenate([x1, ones], axis=-1)
+    resid = jnp.einsum("...ni,...rij,...nj->...rn", p1h, E, p0h)
+    valid = valid & (jnp.max(jnp.abs(resid), axis=-1) < 1e-2)
     return E, valid
 
 
