@@ -187,6 +187,12 @@ def evaluate(model, params, reader, error_th: float, eval_config: dict, args) ->
         else:
             from impx.parallel.mesh import make_mesh, replicate, shard_batch
 
+            n_dev = len(jax.devices())
+            if args.eval_batch % n_dev != 0:
+                raise SystemExit(
+                    f"--data_parallel requires --eval_batch divisible by the "
+                    f"local device count ({n_dev}); got "
+                    f"--eval_batch {args.eval_batch}")
             mesh = make_mesh()
             params = replicate(mesh, params)
             shard = lambda b: shard_batch(mesh, b)  # noqa: E731
@@ -266,6 +272,8 @@ def evaluate(model, params, reader, error_th: float, eval_config: dict, args) ->
         # batched path: several pairs per device call
         eb = max(1, getattr(args, "eval_batch", 4))
         index = 0
+        n_overflow_pairs = 0
+        produce_fallback = None  # mask-only forward, built lazily on overflow
         while index < n_pairs:
             infos, x0s, x1s, feeds = [], [], [], []
             for _ in range(min(eb, n_pairs - index)):
@@ -282,7 +290,33 @@ def evaluate(model, params, reader, error_th: float, eval_config: dict, args) ->
                            for k in feeds[0]})
             t0 = time.time()
             out = produce(params, batch)
-            matches_b = np.asarray(out["indices0"][-1])
+            # np.array (copy): np.asarray of a jax array is a READ-ONLY view
+            # and the overflow fallback below assigns into rows
+            matches_b = np.array(out["indices0"][-1])
+            # compaction overflow recovery: the bucketed path reports how
+            # many survivors each compaction point dropped; any affected
+            # pair is re-run through the mask-only path (which keeps every
+            # survivor, like the reference adgm.py:463-506) so a too-tight
+            # schedule can never silently lose matches
+            if "overflow0" in out:
+                ovf = np.asarray(out["overflow0"]) + np.asarray(out["overflow1"])
+                bad = np.flatnonzero(ovf[:len(infos)] > 0)
+                if len(bad):
+                    n_overflow_pairs += len(bad)
+                    print(f"WARNING: compaction overflow on pairs "
+                          f"{(index - len(infos) + bad).tolist()} "
+                          f"(dropped {ovf[bad].tolist()} survivors) — "
+                          f"re-running mask-only")
+                    if produce_fallback is None:
+                        import dataclasses as _dc
+
+                        fb_model = type(model)(
+                            _dc.replace(model.config, compaction=()))
+                        produce_fallback = jax.jit(
+                            lambda p, d: fb_model.produce_matches(
+                                p, d, p=0.2, only_last=True, with_scores=False))
+                    out_fb = produce_fallback(params, batch)
+                    matches_b[bad] = np.asarray(out_fb["indices0"][-1])[bad]
             t_device += time.time() - t0
             for bi, info in enumerate(infos):
                 _score_pair(info, x0s[bi], x1s[bi], matches_b[bi], bucket,
@@ -296,7 +330,7 @@ def evaluate(model, params, reader, error_th: float, eval_config: dict, args) ->
                       f"MScore {100 * np.mean(matching_scores):.2f} "
                       f"({t_device / max(index, 1) * 1000:.1f} ms/pair device)")
         aucs = [100 * a for a in pose_metrics.pose_auc(pose_errors, thresholds)]
-        return {
+        results = {
             "auc": dict(zip(thresholds, aucs)),
             "precision": 100 * float(np.mean(precisions)),
             "matching_score": 100 * float(np.mean(matching_scores)),
@@ -304,6 +338,9 @@ def evaluate(model, params, reader, error_th: float, eval_config: dict, args) ->
             "pairs_per_sec_device": (len(pose_errors) / t_device) if t_device > 0 else 0.0,
             "total_time": time.time() - t_start,
         }
+        if model.config.compaction:
+            results["compaction_overflow_pairs"] = n_overflow_pairs
+        return results
 
     for index in range(n_pairs):
         info = reader.run(index)

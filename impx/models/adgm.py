@@ -60,25 +60,38 @@ class AdaGMN(DGNNS):
         mscore_th: float = 0.1,
         uncertainty_ratio: float = 1.0,
         n_min_tokens: int | None = None,
+        qmask0: jax.Array | None = None,
+        qmask1: jax.Array | None = None,
     ):
         """One pooling step; returns (new_keep0, new_keep1).
 
         Functional equivalent of reference adgm.py:463-506 (produce_matches
         update) and adgm.py:552-605 (`pool`). prob01/prob10 conventions:
         prob01 has queries=image1, keys=image0; prob10 queries=0, keys=1.
+
+        qmask0/qmask1: which QUERIES contribute to the attention-mass sums.
+        The reference's full-size paths sum over ALL real queries including
+        already-discarded ones (adgm.py:424-427 sums the whole prob tensor),
+        so the masked `_iterate` passes the padding-validity masks here; the
+        sliced paths (reference matching.py:166-174) have only kept tokens
+        in the tensor, which the default (keep) reproduces.
         """
         if n_min_tokens is None:
             n_min_tokens = self.config.n_min_tokens
         th = mscore_th * uncertainty_ratio
+        if qmask0 is None:
+            qmask0 = keep0
+        if qmask1 is None:
+            qmask1 = keep1
 
         if isinstance(prob00, dict):  # fused path: {'q','k'} states, not probs
             norm00, norm01, norm11, norm10 = self._masses_from_qk(
-                prob00, prob01, prob11, prob10, keep0, keep1)
+                prob00, prob01, prob11, prob10, keep0, keep1, qmask0, qmask1)
         else:
-            norm00 = _key_attention_mass(prob00, keep0)  # keys: image0
-            norm01 = _key_attention_mass(prob01, keep1)  # keys: image0
-            norm11 = _key_attention_mass(prob11, keep1)  # keys: image1
-            norm10 = _key_attention_mass(prob10, keep0)  # keys: image1
+            norm00 = _key_attention_mass(prob00, qmask0)  # keys: image0
+            norm01 = _key_attention_mass(prob01, qmask1)  # keys: image0
+            norm11 = _key_attention_mass(prob11, qmask1)  # keys: image1
+            norm10 = _key_attention_mass(prob10, qmask0)  # keys: image1
 
         return self._pool_from_norm(pred_score, norm00, norm01, norm11, norm10,
                                     keep0, keep1, th, n_min_tokens)
@@ -113,7 +126,8 @@ class AdaGMN(DGNNS):
         new_keep1 = side(keep1, pids1, norm11, norm10)
         return new_keep0, new_keep1
 
-    def _masses_from_qk(self, s00, s01, s11, s10, keep0, keep1):
+    def _masses_from_qk(self, s00, s01, s11, s10, keep0, keep1,
+                        qmask0=None, qmask1=None):
         """Pooling statistics from stored q/k projections via the Pallas
         column-mass kernel — same values as summing the prob tensors
         (reference adgm.py:424-432) without materializing them."""
@@ -121,16 +135,20 @@ class AdaGMN(DGNNS):
         from impx.ops.pallas.attention import attention_key_mass
 
         interp = _interpret()
+        if qmask0 is None:
+            qmask0 = keep0
+        if qmask1 is None:
+            qmask1 = keep1
 
         def norm(mass):
             return mass / (jnp.sum(mass, axis=1, keepdims=True) + 1e-15)
 
         # s00: queries=0, keys=0; s01: queries=1, keys=0;
         # s11: queries=1, keys=1; s10: queries=0, keys=1
-        m00 = attention_key_mass(s00["q"], s00["k"], keep0, keep0, interpret=interp)
-        m01 = attention_key_mass(s01["q"], s01["k"], keep0, keep1, interpret=interp)
-        m11 = attention_key_mass(s11["q"], s11["k"], keep1, keep1, interpret=interp)
-        m10 = attention_key_mass(s10["q"], s10["k"], keep1, keep0, interpret=interp)
+        m00 = attention_key_mass(s00["q"], s00["k"], keep0, qmask0, interpret=interp)
+        m01 = attention_key_mass(s01["q"], s01["k"], keep0, qmask1, interpret=interp)
+        m11 = attention_key_mass(s11["q"], s11["k"], keep1, qmask1, interpret=interp)
+        m10 = attention_key_mass(s10["q"], s10["k"], keep1, qmask0, interpret=interp)
         return norm(m00), norm(m01), norm(m11), norm(m10)
 
     def pool(self, pred_score, prob00, prob01, prob11, prob10,
@@ -156,6 +174,9 @@ class AdaGMN(DGNNS):
         n1 = desc1.shape[1]
         keep0 = valid0 if valid0 is not None else jnp.ones((b, n0), bool)
         keep1 = valid1 if valid1 is not None else jnp.ones((b, n1), bool)
+        # all-real-token masks (None valid => everything): the query-side
+        # masks stay FIXED at this as pooling shrinks keep0/keep1
+        full0, full1 = keep0, keep1
 
         sharing = cfg.sharing_layers(True)
         prob00 = prob01 = prob10 = prob11 = None
@@ -167,13 +188,18 @@ class AdaGMN(DGNNS):
             epi = maybe_epipolar_matrix(data, cfg.geo_clamp)
 
         for ni in range(cfg.n_layers):
-            # self attention (reference adgm.py:374-386)
+            # self attention (reference adgm.py:374-386). NOTE the reference
+            # keeps the FULL desc tensors throughout: discarded keypoints are
+            # masked out as attention KEYS only, but are still updated as
+            # queries and still contribute to the MLP's InstanceNorm
+            # statistics — so query_mask (the MLP-norm mask) is the padding
+            # validity, NOT the keep mask.
             layer = params["gnn"][ni * 2]
             delta0, prob00, _ = self._apply_layer(
-                layer, desc0, desc0, prob=prob00, key_mask=keep0, query_mask=keep0,
+                layer, desc0, desc0, prob=prob00, key_mask=keep0, query_mask=full0,
                 train=train, axis_name=axis_name)
             delta1, prob11, _ = self._apply_layer(
-                layer, desc1, desc1, prob=prob11, key_mask=keep1, query_mask=keep1,
+                layer, desc1, desc1, prob=prob11, key_mask=keep1, query_mask=full1,
                 train=train, axis_name=axis_name)
             desc0 = desc0 + delta0
             desc1 = desc1 + delta1
@@ -181,10 +207,10 @@ class AdaGMN(DGNNS):
             # cross attention (reference adgm.py:388-399)
             layer = params["gnn"][ni * 2 + 1]
             delta0, prob10, _ = self._apply_layer(
-                layer, desc0, desc1, prob=prob10, key_mask=keep1, query_mask=keep0,
+                layer, desc0, desc1, prob=prob10, key_mask=keep1, query_mask=full0,
                 train=train, axis_name=axis_name)
             delta1, prob01, _ = self._apply_layer(
-                layer, desc1, desc0, prob=prob01, key_mask=keep0, query_mask=keep1,
+                layer, desc1, desc0, prob=prob01, key_mask=keep0, query_mask=full1,
                 train=train, axis_name=axis_name)
             desc0 = desc0 + delta0
             desc1 = desc1 + delta1
@@ -211,7 +237,8 @@ class AdaGMN(DGNNS):
             if perform_updating:
                 pooled0, pooled1 = self.pool_masks(
                     pred_score, prob00, prob01, prob11, prob10, keep0, keep1,
-                    mscore_th=mscore_th, uncertainty_ratio=uncertainty_ratio)
+                    mscore_th=mscore_th, uncertainty_ratio=uncertainty_ratio,
+                    qmask0=full0, qmask1=full1)
                 keep0, keep1 = (jax.lax.stop_gradient(pooled0),
                                 jax.lax.stop_gradient(pooled1))
         return all_scores, all_idx0, all_ms0, total, (keep0, keep1)
@@ -220,7 +247,10 @@ class AdaGMN(DGNNS):
                         uncertainty_ratio: float = 1.0, only_last: bool = False,
                         with_scores: bool = True, **_):
         """Reference adgm.py:327-526 (eval path)."""
-        if self.config.attn_impl == "pallas" and self.config.norm_fn == "in":
+        if (self.config.attn_impl == "pallas" and self.config.norm_fn == "in"
+                and not self.config.log_ot):
+            # (the EIMP scan body's pooling masses come from the NON-log
+            # fused Sinkhorn kernel; log_ot EIMP uses the masked XLA path)
             from impx.models.fast import (
                 forward_scan_eimp, forward_scan_eimp_compact, stack_params)
 

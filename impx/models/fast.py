@@ -202,7 +202,24 @@ def forward_scan(
     if only_last:
         desc0, desc1 = desc[:b].astype(jnp.float32), desc[b:].astype(jnp.float32)
         dist = model.compute_distance(params_like, desc0, desc1, layer_id=-1)
-        if cfg.with_sinkhorn:
+        if cfg.log_ot and cfg.with_sinkhorn:
+            # log-domain head on the fast path: fused iterated-logsumexp
+            # kernel; mscores = exp(log row max), scores = log-plan (the
+            # compute_score contract when log_ot is set)
+            from impx.ops.matching import matches_from_stats
+            from impx.ops.pallas.log_sinkhorn import (
+                log_sinkhorn_fused_stats, log_plan_from_uv)
+
+            stats = log_sinkhorn_fused_stats(
+                dist, stacked["bin_score"], cfg.sinkhorn_iterations,
+                valid0, valid1, interpret=interpret)
+            idx0, idx1, ms0, ms1 = matches_from_stats(
+                jnp.exp(stats["max0"]), stats["idx0"], stats["idx1"], p,
+                valid0, valid1)
+            score = (log_plan_from_uv(
+                dist, stacked["bin_score"], stats["u"], stats["v"],
+                valid0, valid1) if with_scores else None)
+        elif cfg.with_sinkhorn:
             from impx.ops.matching import matches_from_stats
             from impx.ops.pallas.sinkhorn import (
                 sinkhorn_fused_stats, sinkhorn_plan_from_uv)
@@ -301,9 +318,10 @@ def forward_train_scan(model, stacked: dict, data: dict[str, Any]):
         d0, d1 = desc[:b].astype(jnp.float32), desc[b:].astype(jnp.float32)
         dist = model.compute_distance(pl, d0, d1, layer_id=-1)
         score = model.compute_score(pl, dist, valid0, valid1)
-        t = graph_loss(score, gt)
+        t = graph_loss(score, gt, scores_are_log=model.scores_are_log)
         if epi is not None:
-            t["geo"] = geo_loss(score, epi, valid0, valid1)
+            prob = jnp.exp(score) if model.scores_are_log else score
+            t["geo"] = geo_loss(prob, epi, valid0, valid1)
         terms = jax.tree.map(jnp.add, terms, t)
         return (desc, qk_self, qk_cross, terms, score), None
 
@@ -357,17 +375,23 @@ def _eimp_make_body(model, stacked, b, p, mscore_th, uncertainty_ratio,
         return jnp.concatenate([x[b:], x[:b]], axis=0)
 
     def body(carry, per_it):
-        desc, qk_self, qk_cross, keep0, keep1 = carry
+        # full0/full1: ALL real tokens (fixed across pooling) — the reference
+        # keeps discarded keypoints in the tensors, still updates them as
+        # queries, and includes them in InstanceNorm statistics and in the
+        # attention-mass sums (adgm.py:424-427 sums the whole prob tensor);
+        # only attention KEYS and the score matrix see the keep masks
+        desc, qk_self, qk_cross, keep0, keep1, full0, full1 = carry
         n = keep0.shape[1]
         keep = jnp.concatenate([keep0, keep1], axis=0)
         keep_swap = jnp.concatenate([keep1, keep0], axis=0)
+        full = jnp.concatenate([full0, full1], axis=0)
 
         delta, qk_self = _attn_block(
-            per_it["self"], desc, desc, qk_self, keep, keep,
+            per_it["self"], desc, desc, qk_self, keep, full,
             cfg.num_heads, cfg.ac_fn, compute_dtype, interpret)
         desc = desc + delta
         delta, qk_cross = _attn_block(
-            per_it["cross"], desc, swap(desc), qk_cross, keep_swap, keep,
+            per_it["cross"], desc, swap(desc), qk_cross, keep_swap, full,
             cfg.num_heads, cfg.ac_fn, compute_dtype, interpret)
         desc = desc + delta
 
@@ -399,9 +423,9 @@ def _eimp_make_body(model, stacked, b, p, mscore_th, uncertainty_ratio,
             keep = jnp.concatenate([keep0, keep1], axis=0)
             keep_swap = jnp.concatenate([keep1, keep0], axis=0)
             m_self = attention_key_mass(qk_self["q"], qk_self["k"],
-                                        keep, keep, interpret=interpret)
+                                        keep, full, interpret=interpret)
             m_cross = attention_key_mass(qk_cross["q"], qk_cross["k"],
-                                         keep_swap, keep, interpret=interpret)
+                                         keep_swap, full, interpret=interpret)
             norm = lambda m: m / (jnp.sum(m, axis=1, keepdims=True) + 1e-15)
             n00, n11 = norm(m_self[:b]), norm(m_self[b:])
             n10, n01 = norm(m_cross[:b]), norm(m_cross[b:])
@@ -413,7 +437,7 @@ def _eimp_make_body(model, stacked, b, p, mscore_th, uncertainty_ratio,
             per_it["do_pool"] > 0.5, pool, lambda op: (op[4], op[5]),
             (rowmass, colmass, qk_self, qk_cross, keep0, keep1))
 
-        return ((desc, qk_self, qk_cross, keep0, keep1),
+        return ((desc, qk_self, qk_cross, keep0, keep1, full0, full1),
                 (idx0, ms0, uv, keep0_used, keep1_used))
 
     return body
@@ -493,8 +517,8 @@ def forward_scan_eimp(
         "final_w": stacked["final_w"], "final_b": stacked["final_b"],
         "do_pool": _eimp_do_pool(cfg),
     }
-    carry0 = (desc, zero_qk, zero_qk, keep0, keep1)
-    (desc, _, _, keep0, keep1), (all_idx0, all_ms0, all_uv, k0u, k1u) = \
+    carry0 = (desc, zero_qk, zero_qk, keep0, keep1, keep0, keep1)
+    (desc, _, _, keep0, keep1, _, _), (all_idx0, all_ms0, all_uv, k0u, k1u) = \
         jax.lax.scan(body, carry0, per_it)
 
     if with_scores:
@@ -589,9 +613,23 @@ def forward_scan_eimp_compact(
     Sinkhorn costs shrink like the reference's dynamic slicing
     (reference adgm.py:463-506, eval/matching.py:166-174) while every segment
     stays XLA-static. Matches are emitted in ORIGINAL keypoint indexing via
-    carried global ids. When the survivor count fits the bucket, outputs are
-    identical to the mask-only path (tests/test_eimp_compact.py); overflow
-    drops the highest-index survivors (deterministic).
+    carried global ids.
+
+    Semantics note: each gather implements the reference's SLICED pooling
+    (eval/matching.py:166-174 physically drops tokens) — after a gather, the
+    survivors become the whole tensor, so InstanceNorm statistics and
+    attention-mass sums no longer see discarded tokens. The mask-only path
+    (forward_scan_eimp) instead mirrors produce_matches (full-size tensors;
+    discarded tokens still normalized/updated, reference adgm.py:374-432).
+    The two agree exactly while nothing has been discarded before a gather
+    (tests/test_eimp_compact.py), and approximately afterwards — the same
+    relationship the reference's two eval modes have to each other. Overflow
+    drops the highest-index survivors (deterministic) and is REPORTED: the
+    output carries per-pair 'overflow0'/'overflow1' counts (total survivors
+    dropped across all compaction points) so callers can fall back to the
+    mask-only path — the reference keeps all survivors (adgm.py:463-506),
+    so a silent drop is never acceptable (impx.eval.eval_imp re-runs
+    overflowed pairs mask-only).
 
     The transport plan is never materialized on this path ('scores' is
     [None]); eval consumers use indices0/mscores0.
@@ -621,15 +659,27 @@ def forward_scan_eimp_compact(
     g0 = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[None], (b, n))
     g1 = g0
     qk_self = qk_cross = zero_qk
+    full0, full1 = keep0, keep1  # IN / mass query masks (reset at each gather)
+    overflow0 = jnp.zeros((b,), jnp.int32)
+    overflow1 = jnp.zeros((b,), jnp.int32)
     outs = []  # (idx_orig [B, n], ms_orig [B, n]) per iteration
     for si in range(len(bounds) - 1):
         if si > 0:
+            # survivors that don't fit the next bucket get dropped by the
+            # gather — count them so the caller can detect and recover
+            k = buckets[si]
+            overflow0 += jnp.maximum(jnp.sum(keep0, axis=1) - k, 0).astype(jnp.int32)
+            overflow1 += jnp.maximum(jnp.sum(keep1, axis=1) - k, 0).astype(jnp.int32)
             desc, qk_self, qk_cross, keep0, keep1, g0, g1 = _compact_gather(
                 desc, qk_self, qk_cross, keep0, keep1, g0, g1, b, buckets[si])
+            # the gather physically drops discarded tokens (the reference's
+            # SLICED semantics, eval/matching.py:166-174): the surviving set
+            # becomes the new "all tokens" for IN stats and mass sums
+            full0, full1 = keep0, keep1
         per_it = jax.tree.map(lambda x: x[bounds[si]:bounds[si + 1]], per_it_full)
-        carry = (desc, qk_self, qk_cross, keep0, keep1)
-        (desc, qk_self, qk_cross, keep0, keep1), (idx0s, ms0s, _, _, _) = \
-            jax.lax.scan(body, carry, per_it)
+        carry = (desc, qk_self, qk_cross, keep0, keep1, full0, full1)
+        (desc, qk_self, qk_cross, keep0, keep1, full0, full1), \
+            (idx0s, ms0s, _, _, _) = jax.lax.scan(body, carry, per_it)
         for j in range(bounds[si + 1] - bounds[si]):
             outs.append(_scatter_matches(idx0s[j], ms0s[j], g0, g1, n))
 
@@ -641,4 +691,5 @@ def forward_scan_eimp_compact(
     return {"scores": [None],
             "indices0": [o[0] for o in picked],
             "mscores0": [o[1] for o in picked],
-            "keep0": keep0_orig, "keep1": keep1_orig}
+            "keep0": keep0_orig, "keep1": keep1_orig,
+            "overflow0": overflow0, "overflow1": overflow1}

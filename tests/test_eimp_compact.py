@@ -64,6 +64,27 @@ def test_compact_equals_masked_when_survivors_fit():
         np.asarray(out_m["keep0"]), np.asarray(out_c["keep0"]))
     np.testing.assert_array_equal(
         np.asarray(out_m["keep1"]), np.asarray(out_c["keep1"]))
+    # survivors fit => zero reported overflow
+    assert (np.asarray(out_c["overflow0"]) == 0).all()
+    assert (np.asarray(out_c["overflow1"]) == 0).all()
+
+
+def test_compact_overflow_is_reported():
+    """Survivors exceeding the bucket must be COUNTED, not silently dropped:
+    256 valid keypoints forced into a 64 bucket at iteration 1 (before any
+    pooling can shrink the keep set) guarantees 192 dropped per side."""
+    b, n = 2, 256
+    model_c = _model(compaction=((1, 64),))
+    params = model_c.init(jax.random.PRNGKey(2))
+    stacked = stack_params(params, model_c.config)
+    data = _data(b, n, [256, 256], seed=5)
+    out = forward_scan_eimp_compact(model_c, stacked, data, p=0.1)
+    np.testing.assert_array_equal(np.asarray(out["overflow0"]), [192, 192])
+    np.testing.assert_array_equal(np.asarray(out["overflow1"]), [192, 192])
+    # partially-valid pair: 100 survivors into 64 => 36 dropped
+    data2 = _data(b, n, [100, 40], seed=6)
+    out2 = forward_scan_eimp_compact(model_c, stacked, data2, p=0.1)
+    np.testing.assert_array_equal(np.asarray(out2["overflow0"]), [36, 0])
 
 
 def test_compact_two_stage_schedule():

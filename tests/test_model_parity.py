@@ -201,8 +201,8 @@ def test_adagmn_produce_matches_parity(patched_reference):
 
     data = _random_inputs(np.random.RandomState(4))
     with torch.no_grad():
-        ref = tm.produce_matches(_torch_data(data), p=0.2, mscore_th=0.1)
-        ref_gids0 = [g.numpy() for g in tm_all_gids(tm, _torch_data(data))]
+        ref, (ref_gids0, ref_gids1) = _capture_final_gids(
+            tm, _torch_data(data), p=0.2, mscore_th=0.1)
     out = model.produce_matches(params, _jax_data(data), p=0.2, mscore_th=0.1)
 
     for li in range(cfg.n_layers):
@@ -213,9 +213,45 @@ def test_adagmn_produce_matches_parity(patched_reference):
             np.asarray(out["mscores0"][li]), ref["mscores0"][li].numpy(),
             rtol=RTOL, atol=ATOL, err_msg=f"mscores mismatch at iteration {li}")
 
+    # direct keep-set parity: the reference's final surviving global ids
+    # (locals all_gids0/all_gids1 in adgm.py:produce_matches) must equal the
+    # set bits of impx's final keep masks, per batch element and side
+    keep0 = np.asarray(out["keep0"])
+    keep1 = np.asarray(out["keep1"])
+    assert len(ref_gids0) == BATCH and len(ref_gids1) == BATCH
+    for bi in range(BATCH):
+        np.testing.assert_array_equal(
+            np.flatnonzero(keep0[bi]), np.sort(ref_gids0[bi]),
+            err_msg=f"keep-set mismatch image0 batch {bi}")
+        np.testing.assert_array_equal(
+            np.flatnonzero(keep1[bi]), np.sort(ref_gids1[bi]),
+            err_msg=f"keep-set mismatch image1 batch {bi}")
 
-def tm_all_gids(tm, tdata):
-    """Return nothing (placeholder: reference does not expose gids); the
-    indices0/mscores0 comparison above already pins the pooling decisions,
-    because pooled-away keypoints can never match again."""
-    return []
+
+def _capture_final_gids(tm, tdata, **kwargs):
+    """Run the reference produce_matches and capture its final all_gids0/1
+    locals (the surviving-keypoint global ids) via a frame trace — the
+    reference never returns them (adgm.py:516-526)."""
+    import sys
+
+    captured = {}
+
+    def tracer(frame, event, arg):
+        if event == "call" and frame.f_code.co_name == "produce_matches":
+            return local_tracer
+        return None
+
+    def local_tracer(frame, event, arg):
+        if event == "return" and "all_gids0" in frame.f_locals:
+            captured["gids0"] = [g.numpy().copy() for g in frame.f_locals["all_gids0"]]
+            captured["gids1"] = [g.numpy().copy() for g in frame.f_locals["all_gids1"]]
+        return local_tracer
+
+    old = sys.gettrace()
+    sys.settrace(tracer)
+    try:
+        out = tm.produce_matches(tdata, **kwargs)
+    finally:
+        sys.settrace(old)
+    assert "gids0" in captured, "trace hook failed to capture all_gids0"
+    return out, (captured["gids0"], captured["gids1"])
