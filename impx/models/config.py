@@ -38,6 +38,13 @@ class MatcherConfig:
     with_geo: bool = False
     geo_weight: float = 50.0   # epi errors are ~1e-3..5e-2 in normalized coords
     geo_clamp: float = 0.05    # 10x the eval protocol's 0.005 inlier threshold
+    # score head: False = the reference's non-log Sinkhorn
+    # (nets/layers.py:27-46, IMP semantics); True = the numerically-stable
+    # log-domain optimal transport (nets/superglue.py:180-209) — the
+    # preferred head for bf16 training, fused as an iterated-logsumexp
+    # Pallas kernel when attn_impl='pallas'
+    # (impx/ops/pallas/log_sinkhorn.py)
+    log_ot: bool = False
     # compute dtype for the attention einsums ('float32' | 'bfloat16')
     compute_dtype: str = "float32"
     # attention implementation: 'xla' (materializes probs; differentiable) or

@@ -79,8 +79,31 @@ class GM:
         dist = jnp.einsum("bnd,bmd->bnm", mdesc0, mdesc1)
         return dist / (self.config.descriptor_dim ** 0.5)
 
+    @property
+    def scores_are_log(self) -> bool:
+        """True when compute_score returns a LOG transport plan (the
+        log-domain OT head; SuperGlue overrides this unconditionally)."""
+        return self.config.log_ot
+
     def compute_score(self, params, dist, valid0=None, valid1=None):
-        """Sinkhorn or dual-softmax with learned dustbin (reference gm.py:297-303)."""
+        """Sinkhorn or dual-softmax with learned dustbin (reference gm.py:297-303);
+        with config.log_ot the numerically-stable log-domain head
+        (superglue.py:180-209) — fused iterated-logsumexp kernel under
+        attn_impl='pallas' — replaces the non-log Sinkhorn (the preferred
+        head for bf16 training)."""
+        if self.config.log_ot:
+            if self.config.attn_impl == "pallas":
+                from impx.ops.attention import _interpret
+                from impx.ops.pallas.log_sinkhorn import log_optimal_transport_fused
+
+                return log_optimal_transport_fused(
+                    dist, params["bin_score"], self.config.sinkhorn_iterations,
+                    valid0, valid1, 128, _interpret())
+            from impx.ops.sinkhorn import log_optimal_transport
+
+            return log_optimal_transport(
+                dist, params["bin_score"], self.config.sinkhorn_iterations,
+                valid0, valid1)
         if self.config.with_sinkhorn:
             return sink_algorithm(
                 dist, params["bin_score"], self.config.sinkhorn_iterations,
@@ -89,6 +112,8 @@ class GM:
         return dual_softmax(dist, params["bin_score"], valid0, valid1)
 
     def compute_matches(self, scores, p=0.2, valid0=None, valid1=None):
+        if self.scores_are_log:  # mutual-NN on exp (reference superglue.py:424-437)
+            scores = jnp.exp(scores)
         return _compute_matches(scores, p=p, valid0=valid0, valid1=valid1)
 
     # ------------------------------------------------------------- layer stepping
@@ -221,10 +246,11 @@ class GM:
                 li = i // 2
                 dist = self.compute_distance(params, desc0, desc1, layer_id=li)
                 score = self.compute_score(params, dist, valid0, valid1)
-                terms = graph_loss(score, gt)
+                terms = graph_loss(score, gt, scores_are_log=self.scores_are_log)
                 total = terms if total is None else jax.tree.map(jnp.add, total, terms)
                 if epi is not None:
-                    geo_total = geo_total + geo_loss(score, epi, valid0, valid1)
+                    prob = jnp.exp(score) if self.scores_are_log else score
+                    geo_total = geo_total + geo_loss(prob, epi, valid0, valid1)
                 n_it += 1
                 last_score = score
         total = jax.tree.map(lambda x: x / n_it, total)

@@ -13,10 +13,20 @@ LOG_EPS = 1e-8  # reference loss.py:75
 
 
 def graph_loss(pred_scores, gt_matching_mask, with_hard_negative: bool = False,
-               neg_margin: float = 0.1):
+               neg_margin: float = 0.1, scores_are_log: bool = False):
     """Returns dict(corr=, incorr=, neg=) of scalar losses
-    (reference loss.py:74-104 `compute_matching_loss_batch`)."""
-    log_p = jnp.log(jnp.abs(pred_scores) + LOG_EPS)
+    (reference loss.py:74-104 `compute_matching_loss_batch`).
+
+    scores_are_log: set for the log-domain OT head (superglue.py:180-209 /
+    impx log_optimal_transport) — the NLL then uses the log-plan directly,
+    avoiding the exp->log underflow round-trip that defeats the log head's
+    stability in bf16."""
+    if scores_are_log:
+        log_p = pred_scores
+        if with_hard_negative:
+            pred_scores = jnp.exp(pred_scores)
+    else:
+        log_p = jnp.log(jnp.abs(pred_scores) + LOG_EPS)
     gt = gt_matching_mask.astype(pred_scores.dtype)
 
     num_corr = jnp.sum(gt[:, :-1, :-1], axis=(1, 2))

@@ -13,13 +13,16 @@ import jax.numpy as jnp
 
 from impx.models.config import MatcherConfig
 from impx.models.gm import GM
-from impx.ops.matching import compute_matches as _compute_matches
 from impx.ops.mlp import dense_apply, dense_init
 from impx.ops.sinkhorn import log_optimal_transport
 
 
 class SuperGlue(GM):
     sharing = False
+
+    @property
+    def scores_are_log(self) -> bool:
+        return True  # log-domain OT head, unconditionally (superglue.py:180-209)
 
     def init(self, key: jax.Array) -> dict:
         params = super().init(key)
@@ -35,12 +38,20 @@ class SuperGlue(GM):
         return dist / (self.config.descriptor_dim ** 0.5)
 
     def compute_score(self, params, dist, valid0=None, valid1=None):
+        if self.config.attn_impl == "pallas":
+            # fused iterated-logsumexp kernel: u/v in VMEM, remat VJP;
+            # log-plan materialized in one XLA pass
+            from impx.ops.pallas.log_sinkhorn import log_optimal_transport_fused
+            from impx.models.fast import _interpret
+
+            return log_optimal_transport_fused(
+                dist, params["bin_score"], self.config.sinkhorn_iterations,
+                valid0, valid1, 128, _interpret())
         return log_optimal_transport(
             dist, params["bin_score"], self.config.sinkhorn_iterations, valid0, valid1)
 
-    def compute_matches(self, scores, p=0.2, valid0=None, valid1=None):
-        """Mutual-NN on exp(log-scores) (reference superglue.py:424-437)."""
-        return _compute_matches(jnp.exp(scores), p=p, valid0=valid0, valid1=valid1)
+    # compute_matches inherited: GM exponentiates when scores_are_log
+    # (reference superglue.py:424-437)
 
 
 def convert_superglue_matcher(state, config: MatcherConfig) -> dict:
