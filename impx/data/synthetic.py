@@ -118,37 +118,63 @@ def eval_feed_from_pair(pair, n_kpts: int):
 
     k0 = pad(pair["kpt1"][:n_kpts])
     k1 = pad(pair["kpt2"][:n_kpts])
-    h, w = pair["img_size1"]
-    size = np.array([w, h], np.float32)
-    K = pair["K1"]
-    f = np.array([K[0, 0], K[1, 1]])
+    h0, w0 = pair["img_size1"]
+    h1, w1 = pair["img_size2"]
+    size0 = np.array([w0, h0], np.float32)
+    size1 = np.array([w1, h1], np.float32)
+    K0, K1 = pair["K1"], pair["K2"]
+    f0 = np.array([K0[0, 0], K0[1, 1]])
+    f1 = np.array([K1[0, 0], K1[1, 1]])
     return {
         "descriptors0": pad(pair["desc1"][:n_kpts]),
         "descriptors1": pad(pair["desc2"][:n_kpts]),
-        "norm_keypoints0": (k0[:, :2] - size / 2 - 0.5) / (size.max() * 0.7),
-        "norm_keypoints1": (k1[:, :2] - size / 2 - 0.5) / (size.max() * 0.7),
+        "norm_keypoints0": (k0[:, :2] - size0 / 2 - 0.5) / (size0.max() * 0.7),
+        "norm_keypoints1": (k1[:, :2] - size1 / 2 - 0.5) / (size1.max() * 0.7),
         "scores0": k0[:, 2],
         "scores1": k1[:, 2],
         "valid0": np.arange(n_kpts) < min(len(pair["kpt1"]), n_kpts),
         "valid1": np.arange(n_kpts) < min(len(pair["kpt2"]), n_kpts),
-        "x0n": (k0[:, :2] - K[:2, 2]) / f,
-        "x1n": (k1[:, :2] - K[:2, 2]) / f,
+        "x0n": (k0[:, :2] - K0[:2, 2]) / f0,
+        "x1n": (k1[:, :2] - K1[:2, 2]) / f1,
     }
 
 
-def write_eval_hdf5(path: str, num_pairs: int, seed: int = 0, **pair_kwargs):
+def write_eval_hdf5(path: str, num_pairs: int, seed: int = 0,
+                    image_dir: str | None = None, **pair_kwargs):
     """Write a standard_reader-layout HDF5 of synthetic pairs
-    (reference dump/dumper/base_dumper.py:78-111 `form_standard_dataset`)."""
+    (reference dump/dumper/base_dumper.py:78-111 `form_standard_dataset`).
+
+    image_dir: when given, also write flat gray PNGs of each pair's image
+    size there and add `img_path1`/`img_path2` groups — the REFERENCE
+    standard_reader (components/readers.py:26-29) cv2.imread's actual files
+    (it uses them only for their shape), which the cross-framework study
+    needs; impx's reader uses the img_size groups instead."""
     import h5py
 
     rs = np.random.RandomState(seed)
     with h5py.File(path, "w") as f:
         groups = {}
-        for name in ["K1", "K2", "R", "T", "e", "f", "kpt1", "kpt2",
-                     "desc1", "desc2", "img_size1", "img_size2"]:
+        names = ["K1", "K2", "R", "T", "e", "f", "kpt1", "kpt2",
+                 "desc1", "desc2", "img_size1", "img_size2"]
+        if image_dir is not None:
+            names += ["img_path1", "img_path2"]
+        for name in names:
             groups[name] = f.create_group(name)
         for i in range(num_pairs):
             pair = synthesize_pair(rs, **pair_kwargs)
+            if image_dir is not None:
+                import os
+
+                import cv2
+
+                os.makedirs(image_dir, exist_ok=True)
+                for side, key in ((1, "img_size1"), (2, "img_size2")):
+                    h, w = pair[key]
+                    fn = f"synth_{i}_{side}.png"
+                    fp = os.path.join(image_dir, fn)
+                    if not os.path.exists(fp):
+                        cv2.imwrite(fp, np.full((h, w, 3), 128, np.uint8))
+                    pair[f"img_path{side}"] = np.array([fn.encode()])
             for name, g in groups.items():
                 g.create_dataset(str(i), data=np.asarray(pair[name]))
     return path

@@ -1,0 +1,304 @@
+"""Cross-framework end-to-end equivalence study: the REFERENCE's own eval
+stack vs impx on the same synthetic HDF5 with the same (converted) weights.
+
+This is the strongest real-data-parity mitigation available in this
+container (no YFCC/ScanNet dumps, no published checkpoints): drive the
+reference's `eval/eval_imp.py:35-227` loop — its reader
+(components/readers.py:8-39), its `matching_iterative`
+(eval/matching.py:16-123), its `estimate_pose` cv2 USAC_MAGSAC
+(eval/pose_estimation.py:92-115) and its metric accumulation — on CPU over
+a synthetic standard-layout HDF5, with weights that round-trip through
+torch.save -> impx.tools.convert_torch.load_matcher_checkpoint; then run
+`impx.eval.eval_imp.evaluate` on the identical inputs and compare AUC@5/10/20
+and the per-pair match sets.
+
+Reference quirks handled here (not bugs in impx):
+  * nets/layers.py:41-43 hardcodes device='cuda' in sink_algorithm — replaced
+    with the device-agnostic restatement used by the parity tests;
+  * the reference's ITERATIVE path normalizes keypoints from an HWC image
+    shape as if it were NCHW (eval/eval_imp.py:63 passes img0[None] un-
+    permuted; nets/layers.py:51 unpacks `_, _, height, width`), i.e. it
+    divides by (3, W) instead of (W, H). Its own `matching_iterative` accepts
+    caller-provided normalized keypoints (and checks the TYPO'd key
+    'norm_keypoint0', eval/matching.py:20), so this study injects the
+    correctly-normalized keypoints under both spellings for BOTH frameworks —
+    comparing matchers, not the reference's shape-unpacking slip.
+
+Usage: python -m impx.eval.cross_study [--pairs 8] [--num-kpt 512]
+"""
+from __future__ import annotations
+
+import argparse
+import contextlib
+import io
+import os
+import re
+import sys
+import tempfile
+
+import numpy as np
+
+
+def _cpu_sink(M, dustbin, iteration):
+    """Device-agnostic reference sink_algorithm (nets/layers.py:27-46)."""
+    import torch
+
+    eps = 1e-8
+    M = torch.cat([M, dustbin.expand([M.shape[0], M.shape[1], 1])], dim=-1)
+    M = torch.cat([M, dustbin.expand([M.shape[0], 1, M.shape[2]])], dim=-2)
+    r = torch.ones([M.shape[0], M.shape[1] - 1])
+    r = torch.cat([r, torch.ones([M.shape[0], 1]) * M.shape[1]], dim=-1)
+    c = torch.ones([M.shape[0], M.shape[2] - 1])
+    c = torch.cat([c, torch.ones([M.shape[0], 1]) * M.shape[2]], dim=-1)
+    p = torch.softmax(M, dim=-1)
+    u, v = torch.ones_like(r), torch.ones_like(c)
+    for _ in range(iteration):
+        u = r / ((p * v.unsqueeze(-2)).sum(-1) + eps)
+        v = c / ((p * u.unsqueeze(-1)).sum(-2) + eps)
+    return p * u.unsqueeze(-1) * v.unsqueeze(-2)
+
+
+def _build_models(matching_method: str, seed: int, weight_dir: str):
+    """Reference torch model (eval config, seeded init) + impx twin through
+    the .pth converter. Uses a real published checkpoint instead when one is
+    present in weights/ (none ship in this container)."""
+    import torch
+
+    sys.path.insert(0, "/root/reference")
+    from nets.gms import DGNNS as TorchDGNNS
+    from nets.adgm import AdaGMN as TorchAdaGMN
+
+    from impx.models import MatcherConfig, DGNNS, AdaGMN
+    from impx.tools.convert_torch import load_matcher_checkpoint
+
+    tcfg = {
+        "descriptor_dim": 256,
+        "GNN_layers": ["self", "cross"] * 15,
+        "n_layers": 15,
+        "sinkhorn_iterations": 20,
+        "match_threshold": 0.2,
+        "with_sinkhorn": True,
+        "ac_fn": "relu",
+        "norm_fn": "in",
+        "n_min_tokens": 256,
+    }
+    torch.manual_seed(seed)
+    tm = (TorchDGNNS if matching_method == "IMP" else TorchAdaGMN)(config=tcfg).eval()
+
+    published = os.path.join("weights", "imp_spp.pth" if matching_method == "IMP"
+                             else "eimp_spp.pth")
+    if os.path.isfile(published):
+        tm.load_state_dict(torch.load(published, map_location="cpu")["model"])
+        pth = published
+        print(f"[cross_study] using published checkpoint {published}")
+    else:
+        pth = os.path.join(weight_dir, f"cross_{matching_method}.pth")
+        torch.save({"model": tm.state_dict()}, pth)
+        print(f"[cross_study] no published checkpoint; seeded random weights "
+              f"round-tripped through {pth}")
+
+    cfg = MatcherConfig.eval_config("spp", n_layers=15)
+    params = load_matcher_checkpoint(pth, cfg, sharing=True)
+    model = (DGNNS if matching_method == "IMP" else AdaGMN)(cfg)
+    return tm, model, params
+
+
+@contextlib.contextmanager
+def _reference_on_cpu():
+    import torch
+
+    old_t, old_m = torch.Tensor.cuda, torch.nn.Module.cuda
+    torch.Tensor.cuda = lambda self, *a, **k: self
+    torch.nn.Module.cuda = lambda self, *a, **k: self
+    import nets.gm as ref_gm
+
+    old_sink = ref_gm.sink_algorithm
+    ref_gm.sink_algorithm = _cpu_sink
+    try:
+        yield
+    finally:
+        torch.Tensor.cuda, torch.nn.Module.cuda = old_t, old_m
+        ref_gm.sink_algorithm = old_sink
+
+
+def _norm_kpts(pts, h, w, scale=0.7):
+    size = np.array([w, h], np.float32)
+    return (pts - size / 2.0) / (size.max() * scale)
+
+
+def run_reference(h5_path, image_dir, tm, use_iterative, max_pairs,
+                  num_kpt=512, error_th=1.0):
+    """Drive the reference's own eval() with its module globals set up; parse
+    its printed results; capture per-pair matches via method wrappers."""
+    import torch
+
+    import eval.eval_imp as refmod
+    import eval.matching as refmatching
+
+    reader = refmod.standard_reader(config={
+        "rawdata_dir": image_dir, "dataset_dir": h5_path, "num_kpt": num_kpt})
+    n = min(max_pairs, len(reader))
+
+    class _Limited:
+        def __len__(self):
+            return n
+
+        def run(self, index):
+            return reader.run(index)
+
+    limited = _Limited()
+    captured = []
+
+    old_pm = type(tm).produce_matches
+    old_mi = refmod.matching_iterative
+
+    def wrapped_pm(self, data, **kw):
+        out = old_pm(self, data, **kw)
+        captured.append(out["indices0"][-1][0].detach().cpu().numpy().copy())
+        return out
+
+    def wrapped_mi(data=None, **kw):
+        # inject correctly-normalized keypoints under BOTH spellings (the
+        # reference checks 'norm_keypoint0' but reads 'norm_keypoints0',
+        # eval/matching.py:20-22) — see module docstring
+        h, w = data["image0"].shape[1:3]
+        nk0 = torch.from_numpy(
+            _norm_kpts(data["pts0_cpu"], h, w)).float()[None]
+        nk1 = torch.from_numpy(
+            _norm_kpts(data["pts1_cpu"], h, w)).float()[None]
+        data = dict(data, norm_keypoint0=nk0, norm_keypoint1=nk1,
+                    norm_keypoints0=nk0, norm_keypoints1=nk1)
+        out = old_mi(data=data, **kw)
+        captured.append(np.asarray(out[0]).copy())
+        return out
+
+    refmod.reader = limited
+    refmod.reader_loader = limited
+    refmod.nI = 15
+    refmod.eval_config = {"rescale": 1600, "inlier_th": 0.005}
+    refmod.use_iterative = use_iterative
+    refmod.use_uncertainty = False
+    refmod.error_th = error_th
+    refmod.net = tm
+    refmod.matching_iterative = wrapped_mi
+    type(tm).produce_matches = wrapped_pm
+
+    buf = io.StringIO()
+    try:
+        with _reference_on_cpu(), torch.no_grad(), \
+                contextlib.redirect_stdout(buf):
+            refmod.eval(model=tm)
+    finally:
+        type(tm).produce_matches = old_pm
+        refmod.matching_iterative = old_mi
+
+    text = buf.getvalue()
+    rows = re.findall(
+        r"^(-?[\d.]+)\t (-?[\d.]+)\t (-?[\d.]+)\t (-?[\d.]+)\t (-?[\d.]+)\t "
+        r"(-?[\d.]+)\t\s*$", text, re.M)
+    assert rows, f"could not parse reference eval output:\n{text[-2000:]}"
+    auc5, auc10, auc20, auc50, prec, ms = map(float, rows[-1])
+    return {"auc": {5: auc5, 10: auc10, 20: auc20, 50: auc50},
+            "precision": prec, "matching_score": ms, "matches": captured}
+
+
+def run_impx(h5_path, model, params, use_iterative, pose_backend, max_pairs,
+             num_kpt=512):
+    from impx.eval import eval_imp as ie
+
+    reader = ie.StandardReader({"rawdata_dir": None, "dataset_dir": h5_path,
+                                "num_kpt": num_kpt})
+    args = argparse.Namespace(
+        use_iterative=use_iterative, use_uncertainty=False,
+        pose_backend=pose_backend, eval_batch=1 if use_iterative else 4,
+        bucket=num_kpt, max_pairs=max_pairs, data_parallel=False)
+
+    captured = []
+    old_sp = ie._score_pair
+
+    def wrapped_sp(info, x0, x1, matches, *a, **kw):
+        captured.append(np.asarray(matches).copy())
+        return old_sp(info, x0, x1, matches, *a, **kw)
+
+    ie._score_pair = wrapped_sp
+    try:
+        results = ie.evaluate(model, params, reader, 1.0,
+                              {"rescale": 1600, "inlier_th": 0.005}, args)
+    finally:
+        ie._score_pair = old_sp
+    results["matches"] = captured
+    return results
+
+
+def match_set_agreement(ref_matches, impx_matches):
+    """Per-pair fraction of identical match decisions (index arrays compared
+    elementwise over the first num_kpt slots)."""
+    fracs, exact = [], 0
+    for a, b in zip(ref_matches, impx_matches):
+        n = min(len(a), len(b))
+        same = np.mean(a[:n] == b[:n])
+        fracs.append(same)
+        exact += bool((a[:n] == b[:n]).all())
+    return float(np.mean(fracs)), exact, len(fracs)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--pairs", type=int, default=8)
+    ap.add_argument("--num-kpt", type=int, default=512)
+    ap.add_argument("--methods", nargs="+", default=["IMP", "EIMP"])
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args()
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")  # hermetic: torch vs impx on CPU
+
+    from impx.data.synthetic import write_eval_hdf5
+
+    tmp = tempfile.mkdtemp(prefix="cross_study_")
+    image_dir = os.path.join(tmp, "images")
+    h5 = write_eval_hdf5(os.path.join(tmp, "synth.hdf5"), num_pairs=args.pairs,
+                         seed=args.seed, image_dir=image_dir,
+                         n_inliers=args.num_kpt // 2,
+                         n_outliers0=args.num_kpt // 2,
+                         n_outliers1=args.num_kpt // 2)
+
+    rows = []
+    for method in args.methods:
+        tm, model, params = _build_models(method, args.seed, tmp)
+        for iterative in (False, True):
+            ref = run_reference(h5, image_dir, tm, iterative, args.pairs,
+                                args.num_kpt)
+            for backend in (("cv2", "jax") if not iterative else ("jax",)):
+                imp = run_impx(h5, model, params, iterative, backend,
+                               args.pairs, args.num_kpt)
+                frac, exact, total = match_set_agreement(
+                    ref["matches"], imp["matches"])
+                rows.append({
+                    "method": method, "iterative": iterative,
+                    "impx_pose": backend,
+                    "ref_auc": [ref["auc"][k] for k in (5, 10, 20)],
+                    "impx_auc": [round(imp["auc"][k], 2) for k in (5, 10, 20)],
+                    "ref_prec": ref["precision"],
+                    "impx_prec": round(imp["precision"], 2),
+                    "match_agree": round(100 * frac, 2),
+                    "exact_pairs": f"{exact}/{total}",
+                })
+                print(rows[-1], flush=True)
+
+    print("\n=== cross-framework study (reference torch CPU vs impx) ===")
+    print(f"{'config':<28} {'ref AUC@5/10/20':>20} {'impx AUC@5/10/20':>20} "
+          f"{'refP':>6} {'impxP':>6} {'match%':>7} {'exact':>7}")
+    for r in rows:
+        name = f"{r['method']}{'_iter' if r['iterative'] else ''}/{r['impx_pose']}"
+        ra = "/".join(f"{v:.1f}" for v in r["ref_auc"])
+        ia = "/".join(f"{v:.1f}" for v in r["impx_auc"])
+        print(f"{name:<28} {ra:>20} {ia:>20} {r['ref_prec']:>6.1f} "
+              f"{r['impx_prec']:>6.1f} {r['match_agree']:>7.2f} "
+              f"{r['exact_pairs']:>7}")
+    return rows
+
+
+if __name__ == "__main__":
+    main()

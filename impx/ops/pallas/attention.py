@@ -11,8 +11,10 @@ contracts with V. No flash-style online softmax is needed at these sizes.
 Masking: key validity as a [B, N] float mask (1 valid / 0 pad), applied as a
 -inf fill before softmax — identical to the XLA path (impx/ops/attention.py).
 
-Used for inference paths (produce_matches / iterative). Training keeps the
-XLA path (this kernel has no custom VJP yet).
+Used by both inference (produce_matches / iterative) and training: a custom
+VJP (flash-style backward that recomputes probs blockwise, defined below at
+`_mha_fwd`/`_mha_bwd`) makes the kernel differentiable, and
+`DGNNS.forward_train` routes training through it when attn_impl="pallas".
 """
 from __future__ import annotations
 

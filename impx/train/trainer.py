@@ -236,13 +236,16 @@ class Trainer:
                 stats["consec_bad"] = carry_bad
                 stats["max_consec_bad"] = carry_bad
 
-        if metrics is not None and float(stats["n_good"]) > 0:  # tail flush
+        if metrics is not None:  # tail flush
             s = {k: float(v) for k, v in stats.items()}
+            # abort check must NOT be gated on n_good: a NaN run confined to
+            # an all-bad tail (zero good tail steps) still has to abort
             if s["max_consec_bad"] >= 10:
                 self.writer.text("Abort epoch: >=10 consecutive INF/NAN losses")
                 return params, opt_state, None
-            loss_sum += s["loss_sum"]
-            n_good += s["n_good"]
+            if s["n_good"] > 0:
+                loss_sum += s["loss_sum"]
+                n_good += s["n_good"]
         return params, opt_state, (loss_sum / n_good if n_good else None)
 
     def train(self, params, opt_state=None):

@@ -57,6 +57,33 @@ def test_ring_shift_permutes_shards():
     np.testing.assert_allclose(np.asarray(out), expect)
 
 
+def test_batch_norm_axis_name_syncs_moments():
+    """The SyncBatchNorm path (impx/ops/norms.py batch_norm_train with
+    axis_name): each device normalizes its batch shard with pmean-synced
+    moments, which must equal single-device BN over the full batch
+    (reference train.py:81 SyncBatchNorm over NCCL)."""
+    from impx.ops.norms import batch_norm_train
+
+    mesh = _mesh()
+    rs = np.random.RandomState(7)
+    x = jnp.asarray(rs.randn(N_DEV * 2, 16, 32).astype(np.float32))
+    scale = jnp.asarray(rs.rand(32).astype(np.float32) + 0.5)
+    bias = jnp.asarray(rs.randn(32).astype(np.float32))
+
+    y_ref, m_ref, v_ref = batch_norm_train(x, scale, bias)
+
+    def shard_fn(xs):
+        y, m, v = batch_norm_train(xs, scale, bias, axis_name="data")
+        return y, m, v
+
+    y, m, v = col.under(mesh, shard_fn, x,
+                        out_specs=(P("data"), P(), P()))
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(m), np.asarray(m_ref), atol=1e-6)
+    # var is computed from pmean'd E[x^2]-E[x]^2 per shard; equal up to fp
+    np.testing.assert_allclose(np.asarray(v), np.asarray(v_ref), atol=1e-5)
+
+
 def test_axis_index_identifies_shards():
     mesh = _mesh()
     x = jnp.zeros((N_DEV, 1), jnp.float32)

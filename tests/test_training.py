@@ -83,6 +83,51 @@ def test_training_step_sharded_8dev():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2.1e-4)  # sign flip bounds |diff| by 2*lr
 
 
+def test_bn_training_step_sharded_8dev():
+    """SyncBatchNorm semantics (reference train.py:81): with norm_fn='bn' the
+    batch moments must be computed over the GLOBAL batch even when it is
+    sharded over 8 devices — the sharded step must match the single-device
+    step, which is only true if XLA all-reduces the BN statistics."""
+    cfg = MatcherConfig(descriptor_dim=32, keypoint_encoder=(16, 32), n_layers=2,
+                        sinkhorn_iterations=10, norm_fn="bn", n_min_tokens=8)
+    model = DGNNS(cfg)
+    params = model.init(jax.random.PRNGKey(5))
+    hp = TrainHyperParams(lr=1e-4)
+    step = make_train_step(model, hp, donate=False)
+    opt_state = make_optimizer(hp).init(params)
+
+    batch_np = _batch(np.random.RandomState(5), 8)
+    p1, _, m1, _ = step(params, opt_state, jnp.asarray(0),
+                        {k: jnp.asarray(v) for k, v in batch_np.items()},
+                        init_stats())
+
+    mesh = make_mesh()
+    assert mesh.devices.size == 8
+    with mesh:
+        p_r = replicate(mesh, params)
+        o_r = replicate(mesh, opt_state)
+        sharded = shard_batch(mesh, batch_np)
+        p2, _, m2, _ = step(p_r, o_r, jnp.asarray(0), sharded, init_stats())
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-4)
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2.1e-4)
+
+
+def test_bn_per_shard_stats_differ_from_global():
+    """Sanity check that the above test has teeth: per-shard (unsynced) BN on
+    one device's slice differs from global-batch BN on that slice."""
+    from impx.ops.norms import batch_norm_train
+
+    rs = np.random.RandomState(6)
+    x = jnp.asarray(rs.randn(8, 16, 32).astype(np.float32))
+    scale = jnp.ones((32,))
+    bias = jnp.zeros((32,))
+    y_global, _, _ = batch_norm_train(x, scale, bias)
+    y_local, _, _ = batch_norm_train(x[:1], scale, bias)
+    assert not np.allclose(np.asarray(y_global)[:1], np.asarray(y_local),
+                           atol=1e-4)
+
+
 def test_nan_guard():
     """A poisoned batch must set bad_loss and leave params unchanged."""
     model = _tiny_model()
