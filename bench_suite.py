@@ -447,6 +447,12 @@ def main(selected):
             "imp_iterative_worstcase", DGNNS(cfg()), 2048),
         "imp_iterative_trained_2048": lambda: bench_iterative_trained(
             DGNNS(cfg()), 2048),
+        # wider batch amortizes the checkpoint RANSAC's tiny-op latency
+        # chains (the solver work per op doubles, the op count doesn't)
+        "imp_iterative_trained_2048_b16": lambda: bench_iterative_trained(
+            DGNNS(cfg()), 2048, batch=16, K=3),
+        "imp_iterative_trained_2048_b32": lambda: bench_iterative_trained(
+            DGNNS(cfg()), 2048, batch=32, K=2),
         "eimp_iterative_trained_2048": lambda: (
             lambda c: bench_iterative_trained(
                 AdaGMN(c), 2048, with_uncertainty=True, name="eimp",

@@ -125,8 +125,123 @@ def _null_basis(x0: jax.Array, x1: jax.Array):
     return basis.reshape(*basis.shape[:-1], 3, 3)  # [..., 4, 3, 3]
 
 
+def _sym_cmul(c1: dict, c2: dict) -> dict:
+    """Product of two symbolic coefficients (dict: sorted basis-index tuple
+    -> float)."""
+    out: dict = {}
+    for t1, v1 in c1.items():
+        for t2, v2 in c2.items():
+            t = tuple(sorted(t1 + t2))
+            out[t] = out.get(t, 0.0) + v1 * v2
+    return out
+
+
+def _sym_cadd(a: dict, b: dict, s: float = 1.0) -> dict:
+    out = dict(a)
+    for t, v in b.items():
+        out[t] = out.get(t, 0.0) + s * v
+    return out
+
+
+def _sym_pmul(p: dict, q: dict) -> dict:
+    out: dict = {}
+    for m1, c1 in p.items():
+        for m2, c2 in q.items():
+            m = (m1[0] + m2[0], m1[1] + m2[1], m1[2] + m2[2])
+            c = _sym_cmul(c1, c2)
+            out[m] = _sym_cadd(out[m], c) if m in out else c
+    return out
+
+
+def _sym_padd(p: dict, q: dict, s: float = 1.0) -> dict:
+    out = dict(p)
+    for m, c in q.items():
+        out[m] = (_sym_cadd(out[m], c, s) if m in out
+                  else {t: s * v for t, v in c.items()})
+    return out
+
+
+import functools
+
+
+@functools.lru_cache(maxsize=None)
+def _equation_table():
+    """The entire symbolic expansion of the 10 cubic equations, precomputed
+    ONCE as a static sparse table over the 36 null-basis entries.
+
+    Why: performing the expansion over batched jnp coefficient arrays
+    (_equations below, kept as the oracle) emits thousands of tiny
+    elementwise ops — profiled at ~22 ms per RANSAC checkpoint on TPU, the
+    single largest cost of the iterative loop, and most of the 5-point
+    path's compile time. Every coefficient of the 10x20 system is a cubic
+    form in the basis entries, so the whole assembly collapses to
+    gather-product-matmul: terms = B[I1]*B[I2]*B[I3] (unique cubic
+    monomials), M = terms @ S with a static scatter matrix S.
+
+    Returns (I1, I2, I3 [T] int arrays into the 37-vector [basis(36), 1],
+    S [T, 200] float32: slot = eq * 20 + column over _LEFT+_RIGHT)."""
+    import numpy as np_
+
+    def lin(i, j):  # E[i][j]: degree-1 in (x,y,z), linear in basis entries
+        return {(1, 0, 0): {(0 + i * 3 + j,): 1.0},
+                (0, 1, 0): {(9 + i * 3 + j,): 1.0},
+                (0, 0, 1): {(18 + i * 3 + j,): 1.0},
+                (0, 0, 0): {(27 + i * 3 + j,): 1.0}}
+
+    E = [[lin(i, j) for j in range(3)] for i in range(3)]
+
+    def det3(M):
+        t0 = _sym_pmul(M[0][0], _sym_padd(_sym_pmul(M[1][1], M[2][2]),
+                                          _sym_pmul(M[1][2], M[2][1]), -1.0))
+        t1 = _sym_pmul(M[0][1], _sym_padd(_sym_pmul(M[1][0], M[2][2]),
+                                          _sym_pmul(M[1][2], M[2][0]), -1.0))
+        t2 = _sym_pmul(M[0][2], _sym_padd(_sym_pmul(M[1][0], M[2][1]),
+                                          _sym_pmul(M[1][1], M[2][0]), -1.0))
+        return _sym_padd(_sym_padd(t0, t1, -1.0), t2)
+
+    EEt = [[None] * 3 for _ in range(3)]
+    for i in range(3):
+        for j in range(3):
+            acc: dict = {}
+            for k in range(3):
+                acc = _sym_padd(acc, _sym_pmul(E[i][k], E[j][k]))
+            EEt[i][j] = acc
+    trace = _sym_padd(_sym_padd(EEt[0][0], EEt[1][1]), EEt[2][2])
+
+    eqs = [det3(E)]
+    for i in range(3):
+        for j in range(3):
+            acc = {}
+            for k in range(3):
+                acc = _sym_padd(acc, _sym_pmul(EEt[i][k], E[k][j]))
+            entry = _sym_padd(
+                {m: {t: 2.0 * v for t, v in c.items()} for m, c in acc.items()},
+                _sym_pmul(trace, E[i][j]), -1.0)
+            eqs.append(entry)
+
+    cols = _LEFT + _RIGHT
+    term_index: dict = {}
+    rows = []  # (term_id, slot, value)
+    for eq_i, eq in enumerate(eqs):
+        for ci, m in enumerate(cols):
+            for t, v in eq.get(m, {}).items():
+                tt = tuple(t) + (36,) * (3 - len(t))  # pad with the 1-symbol
+                if tt not in term_index:
+                    term_index[tt] = len(term_index)
+                rows.append((term_index[tt], eq_i * 20 + ci, v))
+    T = len(term_index)
+    I = np_.zeros((3, T), np_.int32)
+    for tt, ti in term_index.items():
+        I[:, ti] = tt
+    S = np_.zeros((T, 200), np_.float32)
+    for ti, slot, v in rows:
+        S[ti, slot] += v
+    return I[0], I[1], I[2], S
+
+
 def _equations(basis: jax.Array) -> list[dict]:
-    """The 10 cubic equations as monomial dicts with batched coefficients."""
+    """The 10 cubic equations as monomial dicts with batched coefficients
+    (the readable oracle; production assembly uses _equation_table)."""
     X, Y, Z, W = (basis[..., i, :, :] for i in range(4))
 
     def lin(i, j):  # E[i][j] as a degree-1 polynomial
@@ -165,6 +280,41 @@ def _equations(basis: jax.Array) -> list[dict]:
     return eqs
 
 
+def _qr_solve_10(A: jax.Array, B: jax.Array) -> jax.Array:
+    """Solve A X = B for [..., 10, 10] A and B via 10 static Householder
+    reflections + back-substitution.
+
+    Why: jnp.linalg.solve lowers to a batched pivoted LU whose sequential
+    dynamic-pivot structure costs ~7 ms at [2048, 10, 10] on TPU (profiled);
+    ten static rank-1 updates and a 10-step back-substitution are fused
+    elementwise/matmul work at a fraction of that. No pivoting: a singular
+    system yields inf/nan, which the caller's isfinite mask already treats
+    as a degenerate sample — the same contract as the regularized LU."""
+    dt = A.dtype
+    n = 10
+    G = jnp.concatenate([A, B], axis=-1)            # [..., 10, 20]
+    rows = jnp.arange(n)
+    for k in range(n):
+        x = jnp.where(rows >= k, G[..., :, k], 0.0)            # [..., 10]
+        nrm = jnp.sqrt(jnp.sum(x * x, axis=-1, keepdims=True))
+        xk = x[..., k:k + 1]
+        sign = jnp.where(xk >= 0, 1.0, -1.0)
+        v = x + sign * nrm * (rows == k).astype(dt)
+        vn = jnp.sqrt(jnp.sum(v * v, axis=-1, keepdims=True))
+        v = jnp.where(vn > 1e-30, v / jnp.maximum(vn, 1e-30), 0.0)
+        G = G - 2.0 * v[..., :, None] * jnp.einsum(
+            "...r,...rc->...c", v, G)[..., None, :]
+    R = G[..., :, :n]
+    C = G[..., :, n:]
+    X = [None] * n
+    for i in range(n - 1, -1, -1):
+        acc = C[..., i, :]
+        for j in range(i + 1, n):
+            acc = acc - R[..., i, j:j + 1] * X[j]
+        X[i] = acc / R[..., i, i:i + 1]
+    return jnp.stack(X, axis=-2)                     # [..., 10, 10]
+
+
 def _pconv(a: jax.Array, b: jax.Array) -> jax.Array:
     """1-D polynomial product on trailing coeff axes (ascending powers),
     static loops (sizes <= 11)."""
@@ -192,17 +342,23 @@ def solve_essential_5pt(x0: jax.Array, x1: jax.Array, grid: int = 512):
     x0 = x0.astype(dt)
     x1 = x1.astype(dt)
     basis = _null_basis(x0, x1)                    # [..., 4, 3, 3]
-    eqs = _equations(basis)
     batch = basis.shape[:-3]
 
-    zero = jnp.zeros(batch, dt)
-    A = jnp.stack([jnp.stack([eq.get(m, zero) for m in _LEFT], axis=-1)
-                   for eq in eqs], axis=-2)        # [..., 10, 10]
-    Bm = jnp.stack([jnp.stack([eq.get(m, zero) for m in _RIGHT], axis=-1)
-                    for eq in eqs], axis=-2)       # [..., 10, 10]
-    # guard singular systems (degenerate samples): solve on a regularized A,
-    # mark the whole problem invalid if badly conditioned
-    C = jnp.linalg.solve(A + 1e-12 * jnp.eye(10, dtype=dt), Bm)
+    # assemble the 10x20 cubic system from the precomputed symbolic table:
+    # gather-product-matmul instead of thousands of tiny coefficient ops
+    I1, I2, I3, S = _equation_table()
+    Bflat = jnp.concatenate(
+        [basis.reshape(*batch, 36), jnp.ones(batch + (1,), dt)], axis=-1)
+    terms = (jnp.take(Bflat, jnp.asarray(I1), axis=-1)
+             * jnp.take(Bflat, jnp.asarray(I2), axis=-1)
+             * jnp.take(Bflat, jnp.asarray(I3), axis=-1))       # [..., T]
+    M20 = jnp.einsum("...t,ts->...s", terms, jnp.asarray(S, dt))
+    M20 = M20.reshape(*batch, 10, 20)
+    A = M20[..., :, :10]                            # [..., 10, 10] (_LEFT)
+    Bm = M20[..., :, 10:]                           # [..., 10, 10] (_RIGHT)
+    # singular systems (degenerate samples) yield non-finite C and are
+    # masked invalid below; see _qr_solve_10 for why not jnp.linalg.solve
+    C = _qr_solve_10(A, Bm)
     finite = jnp.all(jnp.isfinite(C), axis=(-1, -2))
 
     def zrow(u, v):
@@ -276,8 +432,17 @@ def solve_essential_5pt(x0: jax.Array, x1: jax.Array, grid: int = 512):
     rhs = -jnp.stack([pv(p11), pv(p12), pv(p13)], axis=-1)            # [...,R,3]
     MtM = jnp.einsum("...ri,...rj->...ij", M, M)
     Mtb = jnp.einsum("...ri,...r->...i", M, rhs)
-    xy = jnp.linalg.solve(MtM + 1e-12 * jnp.eye(2, dtype=dt),
-                          Mtb[..., None])[..., 0]                     # [...,R,2]
+    # Cramer's rule on the regularized normal equations: jnp.linalg.solve on
+    # [..., 2, 2] lowers to a batched pivoted LU profiled at ~14 ms per
+    # RANSAC checkpoint on TPU; two fused multiply-adds cost ~nothing
+    a = MtM[..., 0, 0] + 1e-12
+    bb = MtM[..., 0, 1]
+    cc = MtM[..., 1, 0]
+    d = MtM[..., 1, 1] + 1e-12
+    det = a * d - bb * cc
+    e, f = Mtb[..., 0], Mtb[..., 1]
+    xy = jnp.stack([(d * e - bb * f) / det,
+                    (a * f - cc * e) / det], axis=-1)                 # [...,R,2]
 
     coef = jnp.concatenate([xy, z[..., None],
                             jnp.ones_like(z)[..., None]], axis=-1)    # x,y,z,1

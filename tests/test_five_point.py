@@ -96,3 +96,32 @@ def test_study_jax_within_cv2():
     auc_cv2 = pose_auc(run_backend("cv2", pairs))
     auc_j5 = pose_auc(run_backend("jax5", pairs, num_hypotheses=512))
     assert auc_j5[2] > auc_cv2[2] - 8, (auc_j5, auc_cv2)
+
+
+def test_equation_table_matches_symbolic_oracle():
+    """The precomputed gather-product-matmul assembly (_equation_table) must
+    equal the readable dict-based expansion (_equations) — same 10x20 cubic
+    system, radically fewer ops on TPU."""
+    import jax.numpy as jnp
+
+    from impx.ransac.five_point import (_LEFT, _RIGHT, _equation_table,
+                                        _equations)
+
+    I1, I2, I3, S = _equation_table()
+    rs = np.random.RandomState(3)
+    basis = jnp.asarray(rs.randn(5, 4, 3, 3).astype(np.float32))
+
+    eqs = _equations(basis)
+    zero = jnp.zeros((5,), jnp.float32)
+    A_old = np.stack([np.stack([np.asarray(eq.get(m, zero)) for m in _LEFT], -1)
+                      for eq in eqs], -2)
+    B_old = np.stack([np.stack([np.asarray(eq.get(m, zero)) for m in _RIGHT], -1)
+                      for eq in eqs], -2)
+
+    Bflat = jnp.concatenate([basis.reshape(5, 36), jnp.ones((5, 1))], -1)
+    terms = (jnp.take(Bflat, jnp.asarray(I1), -1)
+             * jnp.take(Bflat, jnp.asarray(I2), -1)
+             * jnp.take(Bflat, jnp.asarray(I3), -1))
+    M = np.asarray(jnp.einsum("bt,ts->bs", terms, jnp.asarray(S))).reshape(5, 10, 20)
+    np.testing.assert_allclose(M[..., :10], A_old, atol=5e-5)
+    np.testing.assert_allclose(M[..., 10:], B_old, atol=5e-5)
