@@ -102,6 +102,70 @@ def load_matcher_checkpoint(path: str, config: MatcherConfig, sharing: bool) -> 
     return convert_matcher(state, config, sharing)
 
 
+def _torch_conv1d(dst: dict, prefix: str, block: Mapping) -> None:
+    import torch
+
+    w = np.asarray(block["w"])  # [in, out]
+    dst[f"{prefix}.weight"] = torch.from_numpy(np.ascontiguousarray(w.T[:, :, None]))
+    dst[f"{prefix}.bias"] = torch.from_numpy(np.asarray(block["b"]).copy())
+
+
+def _torch_mlp(dst: dict, prefix: str, blocks, norm_fn: str) -> None:
+    import torch
+
+    idx = 0
+    dot = f"{prefix}." if prefix else ""
+    for i, block in enumerate(blocks):
+        _torch_conv1d(dst, f"{dot}{idx}", block)
+        idx += 1
+        if i < len(blocks) - 1:
+            if norm_fn == "bn":
+                dst[f"{dot}{idx}.weight"] = torch.from_numpy(
+                    np.asarray(block["bn_scale"]).copy())
+                dst[f"{dot}{idx}.bias"] = torch.from_numpy(
+                    np.asarray(block["bn_bias"]).copy())
+                dst[f"{dot}{idx}.running_mean"] = torch.from_numpy(
+                    np.asarray(block["bn_mean"]).copy())
+                dst[f"{dot}{idx}.running_var"] = torch.from_numpy(
+                    np.asarray(block["bn_var"]).copy())
+                dst[f"{dot}{idx}.num_batches_tracked"] = torch.zeros(
+                    (), dtype=torch.long)
+            if norm_fn in ("bn", "in"):
+                idx += 1
+            idx += 1
+
+
+def matcher_state_dict(params: Mapping, config: MatcherConfig,
+                       sharing: bool) -> dict:
+    """Inverse of convert_matcher: impx param pytree -> reference state_dict.
+
+    Lets impx-trained weights drive the reference torch models (nets/gm.py:46-77
+    module layout), e.g. for the cross-framework equivalence study where both
+    stacks must share non-trivial weights. Round-trip pinned by
+    tests/test_checkpoint_load.py."""
+    import torch
+
+    state: dict = {}
+    _torch_mlp(state, "kenc.encoder", params["kenc"], config.norm_fn)
+    for i, block in enumerate(params["final_proj"]):
+        _torch_conv1d(state, f"final_proj.{i}", block)
+    state["bin_score"] = torch.from_numpy(
+        np.asarray(params["bin_score"]).copy().reshape(()))
+    share = config.sharing_layers(sharing)
+    for i, layer in enumerate(params["gnn"]):
+        prefix = f"gnn.layers.{i}"
+        _torch_mlp(state, f"{prefix}.mlp", layer["mlp"], config.norm_fn)
+        if share[i]:
+            _torch_conv1d(state, f"{prefix}.proj", layer["proj"])
+            _torch_conv1d(state, f"{prefix}.merge", layer["merge"])
+        else:
+            _torch_conv1d(state, f"{prefix}.attn.proj.0", layer["attn"]["q"])
+            _torch_conv1d(state, f"{prefix}.attn.proj.1", layer["attn"]["k"])
+            _torch_conv1d(state, f"{prefix}.attn.proj.2", layer["attn"]["v"])
+            _torch_conv1d(state, f"{prefix}.attn.merge", layer["attn"]["merge"])
+    return state
+
+
 def _conv2d(state: Mapping, prefix: str) -> dict:
     w = _np(state[f"{prefix}.weight"])  # [out, in, kh, kw] (OIHW)
     b = _np(state[f"{prefix}.bias"])

@@ -49,6 +49,32 @@ def test_pth_checkpoint_roundtrip(reference_path, tmp_path, monkeypatch):
     assert np.asarray(out["indices0"][-1]).shape == (1, 32)
 
 
+def test_reverse_converter_roundtrip(reference_path):
+    """impx params -> torch state_dict -> convert back == identity, and the
+    reference model accepts the state_dict strictly (every key present,
+    every shape right)."""
+    from nets.gms import DGNNS as TorchDGNNS
+
+    from impx.tools.convert_torch import matcher_state_dict
+
+    cfg = _cfg()
+    model = DGNNS(cfg)
+    params = model.init(jax.random.PRNGKey(7))
+    state = matcher_state_dict(params, cfg, sharing=True)
+
+    tm = TorchDGNNS(config={
+        "descriptor_dim": 64, "GNN_layers": ["self", "cross"] * 3, "n_layers": 3,
+        "sinkhorn_iterations": 10, "match_threshold": 0.2, "with_sinkhorn": True,
+        "ac_fn": "relu", "norm_fn": "in", "n_min_tokens": 16})
+    tm.load_state_dict(state, strict=True)
+
+    back = convert_matcher(tm.state_dict(), cfg, sharing=True)
+    la, lb = jax.tree.leaves(params), jax.tree.leaves(back)
+    assert len(la) == len(lb)
+    for a, b in zip(la, lb):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_call_dispatch_api():
     """Reference forward(data, mode) semantics (gm.py:252-258)."""
     cfg = _cfg()
