@@ -258,19 +258,25 @@ def bench_iterative_trained(model, n_kpts=2048, batch=8, K=6, train_kpts=512,
         return sum(jnp.sum(v.astype(jnp.float32)) for v in stack.values())
 
     # quality probe (untimed): convergence fraction, stop iteration, pose err
+    # over ALL K*batch pairs (a single batch of 8 made the converged-fraction
+    # a 1-in-8-quantized statistic that swung run to run)
     stack_q, poses_q = eval_stack(1)
-    d0 = {k: v[0] for k, v in stack_q.items()}
-    out = jax.jit(run_one)(stacked, d0, keys[0])
-    conv = np.asarray(out["converged"])
-    stops = np.asarray(out["stopped_at"])
-    errs = []
-    for bi in range(batch):
-        T_0to1 = np.eye(4)
-        T_0to1[:3, :3] = poses_q[bi][0]
-        T_0to1[:3, 3] = poses_q[bi][1]
-        err_t, err_R = compute_pose_error_np(
-            T_0to1, np.asarray(out["R"][bi]), np.asarray(out["t"][bi]))
-        errs.append(max(err_R, err_t))
+    run_one_j = jax.jit(run_one)
+    conv_l, stops_l, errs = [], [], []
+    for k in range(K):
+        dk = {key_: v[k] for key_, v in stack_q.items()}
+        out = run_one_j(stacked, dk, keys[k])
+        conv_l.append(np.asarray(out["converged"]))
+        stops_l.append(np.asarray(out["stopped_at"]))
+        for bi in range(batch):
+            T_0to1 = np.eye(4)
+            T_0to1[:3, :3] = poses_q[k * batch + bi][0]
+            T_0to1[:3, 3] = poses_q[k * batch + bi][1]
+            err_t, err_R = compute_pose_error_np(
+                T_0to1, np.asarray(out["R"][bi]), np.asarray(out["t"][bi]))
+            errs.append(max(err_R, err_t))
+    conv = np.concatenate(conv_l)
+    stops = np.concatenate(stops_l)
     print(json.dumps({"metric": "iterative_trained_quality",
                       "value": round(float(np.median(errs)), 2),
                       "unit": f"median pose err deg; converged {conv.mean():.2f}; "

@@ -58,10 +58,53 @@ def _cpu_sink(M, dustbin, iteration):
     return p * u.unsqueeze(-1) * v.unsqueeze(-2)
 
 
-def _build_models(matching_method: str, seed: int, weight_dir: str):
+def _train_params(cfg, steps: int, train_kpts: int = 256, batch: int = 2):
+    """Briefly train the 15-layer DGNNS on synthetic matchable scenes (CPU)
+    so the cross-framework comparison runs on weights that produce
+    non-trivial match sets (random weights match almost nothing, which would
+    make 'identical matches' a hollow statement)."""
+    import jax
+    import jax.numpy as jnp
+
+    from impx.data.megadepth import SyntheticMegadepth
+    from impx.models import DGNNS
+    from impx.train.step import (TrainHyperParams, init_stats, make_optimizer,
+                                 make_train_step)
+
+    model = DGNNS(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    hp = TrainHyperParams(lr=1e-4)
+    step = jax.jit(make_train_step(model, hp, donate=False))
+    opt_state = make_optimizer(hp).init(params)
+    import numpy as np_
+
+    ds = SyntheticMegadepth(num_pairs=32, nfeatures=train_kpts,
+                            desc_dim=cfg.descriptor_dim, seed=5)
+    batches = []
+    for bi in range(32 // batch):
+        samples = [ds[bi * batch + i] for i in range(batch)]
+        batches.append({k: jnp.asarray(np_.stack([s[k] for s in samples]),
+                                       jnp.float32)
+                        for k in samples[0]
+                        if isinstance(samples[0][k], np_.ndarray)})
+    for it in range(steps):
+        params, opt_state, metrics, _ = step(
+            params, opt_state, jnp.asarray(it), batches[it % len(batches)],
+            init_stats())
+        if (it + 1) % max(steps // 5, 1) == 0:
+            print(f"[cross_study train {it + 1}/{steps}] "
+                  f"loss {float(metrics['loss']):.3f}", flush=True)
+    return params
+
+
+def _build_models(matching_method: str, seed: int, weight_dir: str,
+                  train_steps: int = 0):
     """Reference torch model (eval config, seeded init) + impx twin through
     the .pth converter. Uses a real published checkpoint instead when one is
-    present in weights/ (none ship in this container)."""
+    present in weights/ (none ship in this container); with train_steps > 0,
+    briefly-trained impx weights flow to the torch model through the REVERSE
+    converter (matcher_state_dict) and back through the forward converter —
+    both conversion directions are on the tested path."""
     import torch
 
     sys.path.insert(0, "/root/reference")
@@ -69,7 +112,8 @@ def _build_models(matching_method: str, seed: int, weight_dir: str):
     from nets.adgm import AdaGMN as TorchAdaGMN
 
     from impx.models import MatcherConfig, DGNNS, AdaGMN
-    from impx.tools.convert_torch import load_matcher_checkpoint
+    from impx.tools.convert_torch import (load_matcher_checkpoint,
+                                          matcher_state_dict)
 
     tcfg = {
         "descriptor_dim": 256,
@@ -85,19 +129,29 @@ def _build_models(matching_method: str, seed: int, weight_dir: str):
     torch.manual_seed(seed)
     tm = (TorchDGNNS if matching_method == "IMP" else TorchAdaGMN)(config=tcfg).eval()
 
+    cfg = MatcherConfig.eval_config("spp", n_layers=15)
+
     published = os.path.join("weights", "imp_spp.pth" if matching_method == "IMP"
                              else "eimp_spp.pth")
     if os.path.isfile(published):
         tm.load_state_dict(torch.load(published, map_location="cpu")["model"])
         pth = published
         print(f"[cross_study] using published checkpoint {published}")
+    elif train_steps > 0:
+        pth = os.path.join(weight_dir, "cross_trained.pth")  # method-independent: AdaGMN shares the DGNNS param structure
+        if not os.path.isfile(pth):
+            trained = _train_params(cfg, train_steps)
+            torch.save({"model": matcher_state_dict(trained, cfg, sharing=True)},
+                       pth)
+        tm.load_state_dict(
+            torch.load(pth, map_location="cpu")["model"], strict=True)
+        print(f"[cross_study] impx-trained ({train_steps} steps) weights via "
+              f"the reverse converter: {pth}")
     else:
         pth = os.path.join(weight_dir, f"cross_{matching_method}.pth")
         torch.save({"model": tm.state_dict()}, pth)
         print(f"[cross_study] no published checkpoint; seeded random weights "
               f"round-tripped through {pth}")
-
-    cfg = MatcherConfig.eval_config("spp", n_layers=15)
     params = load_matcher_checkpoint(pth, cfg, sharing=True)
     model = (DGNNS if matching_method == "IMP" else AdaGMN)(cfg)
     return tm, model, params
@@ -248,6 +302,9 @@ def main():
     ap.add_argument("--num-kpt", type=int, default=512)
     ap.add_argument("--methods", nargs="+", default=["IMP", "EIMP"])
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--train-steps", type=int, default=0,
+                    help="briefly train impx weights first (reverse-converted "
+                         "to torch) so match sets are non-trivial")
     args = ap.parse_args()
 
     import jax
@@ -266,7 +323,8 @@ def main():
 
     rows = []
     for method in args.methods:
-        tm, model, params = _build_models(method, args.seed, tmp)
+        tm, model, params = _build_models(method, args.seed, tmp,
+                                  train_steps=args.train_steps)
         for iterative in (False, True):
             ref = run_reference(h5, image_dir, tm, iterative, args.pairs,
                                 args.num_kpt)
