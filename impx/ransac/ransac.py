@@ -58,16 +58,27 @@ def _sample_minimal_sets_weighted(key, weights, valid, num_hypotheses: int,
     return idx
 
 
-def _score(E, x0, x1, valid, threshold):
-    """MAGSAC-style truncated-quadratic gain + inlier mask for one model."""
+def _score(E, x0, x1, valid, threshold, sigmas=(1.0,)):
+    """Truncated-quadratic gain + inlier mask for one model. With several
+    `sigmas`, the gain marginalizes the truncation scale (the cheap form of
+    MAGSAC's sigma-consensus: a hypothesis whose residuals sit just beyond
+    one threshold still collects credit at the wider ones, so model selection
+    stops knife-edging on noise ~ threshold). The inlier MASK stays at the
+    base threshold."""
     d2 = sampson_distance(x0, x1, E)
     t2 = threshold * threshold
     inlier = (d2 < t2) & valid
-    gain = jnp.sum(jnp.where(valid, jnp.maximum(0.0, 1.0 - d2 / t2), 0.0), axis=-1)
+    gain = sum(
+        jnp.sum(jnp.where(valid,
+                          jnp.maximum(0.0, 1.0 - d2 / (t2 * s * s)), 0.0),
+                axis=-1) / s
+        for s in sigmas)
     return gain, inlier, d2
 
 
-@partial(jax.jit, static_argnames=("num_hypotheses", "sample_size", "lo_iterations"))
+@partial(jax.jit, static_argnames=("num_hypotheses", "sample_size",
+                                   "lo_iterations", "score_sigmas",
+                                   "lo_anneal", "lo_starts"))
 def estimate_essential_ransac(
     key: jax.Array,
     x0: jax.Array,
@@ -78,6 +89,9 @@ def estimate_essential_ransac(
     sample_size: int = 8,
     lo_iterations: int = 4,
     weights: jax.Array | None = None,
+    score_sigmas: tuple = (1.0, 2.0),
+    lo_anneal: float = 3.0,
+    lo_starts: int = 1,
 ):
     """x0, x1: [N, 2] normalized camera coordinates; valid: [N] bool;
     threshold: inlier threshold in normalized coordinates (Sampson).
@@ -105,7 +119,8 @@ def estimate_essential_ransac(
 
         Es, ok = solve_essential_5pt(sx0, sx1)      # [H, R, 3, 3], [H, R]
         Es = Es.reshape(-1, 3, 3)
-        gains, _, _ = jax.vmap(lambda E: _score(E, x0, x1, valid, threshold))(Es)
+        gains, _, _ = jax.vmap(
+            lambda E: _score(E, x0, x1, valid, threshold, score_sigmas))(Es)
         gains = jnp.where(ok.reshape(-1), gains, -jnp.inf)
     else:
         # project=False: scoring tolerates near-essential candidates, and the
@@ -113,26 +128,38 @@ def estimate_essential_ransac(
         # cost at H hypotheses; the winner is refined (and projected) by the
         # IRLS loop below
         Es = essential_from_points(sx0, sx1, project=False)  # [H, 3, 3]
-        gains, _, _ = jax.vmap(lambda E: _score(E, x0, x1, valid, threshold))(Es)
-    best = jnp.argmax(gains)
-    E = Es[best]
-
-    # local optimization: IRLS with truncated weights on the current inliers;
-    # the current gain is carried so each iteration scores only the refit
-    def lo_body(_, carry):
+        gains, _, _ = jax.vmap(
+            lambda E: _score(E, x0, x1, valid, threshold, score_sigmas))(Es)
+    # local optimization: IRLS with truncated weights and an ANNEALED support
+    # threshold (LO-RANSAC, Chum et al.): start the refit from a wide basin
+    # (lo_anneal * threshold recovers true inliers the minimal-set model left
+    # just outside the base threshold) and shrink to the base threshold by the
+    # last iteration. Acceptance is always judged at the BASE threshold.
+    # MULTI-START: cv2 USAC runs LO at every so-far-best hypothesis; the
+    # vectorized equivalent is LO from each of the top-`lo_starts` hypotheses
+    # (distinct basins) keeping the best final gain.
+    def lo_body(i, carry):
         E, g = carry
+        frac = (lo_iterations - 1.0 - i) / max(lo_iterations - 1.0, 1.0)
+        m2 = (1.0 + (lo_anneal - 1.0) * frac) ** 2
         d2 = sampson_distance(x0, x1, E)
         t2 = threshold * threshold
-        w = jnp.where((d2 < t2) & valid, 1.0 / (1.0 + d2 / t2), 0.0)
+        w = jnp.where((d2 < t2 * m2) & valid, 1.0 / (1.0 + d2 / (t2 * m2)), 0.0)
         n_in = jnp.sum(w > 0)
         E_new = essential_from_points(x0, x1, weights=w)
-        g_new, _, _ = _score(E_new, x0, x1, valid, threshold)
+        g_new, _, _ = _score(E_new, x0, x1, valid, threshold, score_sigmas)
         better = (g_new >= g) & (n_in >= 8)  # keep refit only if gain held
         return jnp.where(better, E_new, E), jnp.where(better, g_new, g)
 
-    g0, _, _ = _score(E, x0, x1, valid, threshold)
-    E, _ = jax.lax.fori_loop(0, lo_iterations, lo_body, (E, g0))
-    gain, inliers, _ = _score(E, x0, x1, valid, threshold)
+    def lo_chain(E0):
+        g0, _, _ = _score(E0, x0, x1, valid, threshold, score_sigmas)
+        return jax.lax.fori_loop(0, lo_iterations, lo_body, (E0, g0))
+
+    top_g, top_i = jax.lax.top_k(gains, min(lo_starts, gains.shape[0]))
+    Es_f, gs_f = jax.vmap(lo_chain)(Es[top_i])
+    b = jnp.argmax(gs_f)
+    E = Es_f[b]
+    gain, inliers, _ = _score(E, x0, x1, valid, threshold, score_sigmas)
     return {
         "E": E,
         "inliers": inliers,
