@@ -58,11 +58,14 @@ def _cpu_sink(M, dustbin, iteration):
     return p * u.unsqueeze(-1) * v.unsqueeze(-2)
 
 
-def _train_params(cfg, steps: int, train_kpts: int = 256, batch: int = 2):
+def _train_params(cfg, steps: int, train_kpts: int = 256, batch: int = 4):
     """Briefly train the 15-layer DGNNS on synthetic matchable scenes (CPU)
     so the cross-framework comparison runs on weights that produce
     non-trivial match sets (random weights match almost nothing, which would
-    make 'identical matches' a hollow statement)."""
+    make 'identical matches' a hollow statement). Same recipe as
+    bench_suite's trained-iterative config (lr 3e-4 + clip, no decay) — at
+    lr 1e-4 the deep 15-layer matcher barely moves off the ~5.5 random-init
+    NLL in a few hundred steps."""
     import jax
     import jax.numpy as jnp
 
@@ -73,7 +76,7 @@ def _train_params(cfg, steps: int, train_kpts: int = 256, batch: int = 2):
 
     model = DGNNS(cfg)
     params = model.init(jax.random.PRNGKey(0))
-    hp = TrainHyperParams(lr=1e-4)
+    hp = TrainHyperParams(lr=3e-4, decay_iter=10**6, grad_clip=1.0)
     step = jax.jit(make_train_step(model, hp, donate=False))
     opt_state = make_optimizer(hp).init(params)
     import numpy as np_
@@ -305,6 +308,11 @@ def main():
     ap.add_argument("--train-steps", type=int, default=0,
                     help="briefly train impx weights first (reverse-converted "
                          "to torch) so match sets are non-trivial")
+    ap.add_argument("--weight-dir", type=str, default="",
+                    help="directory for cross_trained.pth — pass a fixed path "
+                         "to reuse the trained weights across study runs")
+    ap.add_argument("--iterative-only", action="store_true", default=False,
+                    help="skip the (already-exact) non-iterative modes")
     args = ap.parse_args()
 
     import jax
@@ -322,10 +330,13 @@ def main():
                          n_outliers1=args.num_kpt // 2)
 
     rows = []
+    weight_dir = args.weight_dir or tmp
+    if args.weight_dir:
+        os.makedirs(args.weight_dir, exist_ok=True)
     for method in args.methods:
-        tm, model, params = _build_models(method, args.seed, tmp,
+        tm, model, params = _build_models(method, args.seed, weight_dir,
                                   train_steps=args.train_steps)
-        for iterative in (False, True):
+        for iterative in ((True,) if args.iterative_only else (False, True)):
             ref = run_reference(h5, image_dir, tm, iterative, args.pairs,
                                 args.num_kpt)
             for backend in (("cv2", "jax") if not iterative else ("jax",)):

@@ -49,6 +49,13 @@ parser.add_argument("--compute_dtype", type=str, default="float32",
                     choices=["float32", "bfloat16"])
 parser.add_argument("--eval_batch", type=int, default=4,
                     help="pairs per device call on the non-iterative path")
+parser.add_argument("--ransac_hypotheses", type=int, default=4096,
+                    help="hypothesis budget of the on-device checkpoint "
+                         "RANSAC in the iterative loop (the reference's "
+                         "checkpoints run adaptive cv2 USAC_MAGSAC; 4096 is "
+                         "the accuracy-matched eval default per the cross-"
+                         "framework study — bench configs pick their own "
+                         "throughput-oriented budgets)")
 parser.add_argument("--data_parallel", action="store_true", default=False,
                     help="shard each eval batch's pair axis over all local "
                          "devices (eval_batch should be a multiple of the "
@@ -181,22 +188,22 @@ def evaluate(model, params, reader, error_th: float, eval_config: dict, args) ->
     # eval_batch should be a multiple of the device count)
     shard = lambda b: b  # noqa: E731
     if getattr(args, "data_parallel", False) and len(jax.devices()) > 1:
-        if args.use_iterative:
-            print("WARNING: --data_parallel only shards the non-iterative "
-                  "batched path; the iterative loop runs single-device")
-        else:
-            from impx.parallel.mesh import make_mesh, replicate, shard_batch
+        from impx.parallel.mesh import make_mesh, replicate, shard_batch
 
-            n_dev = len(jax.devices())
-            if args.eval_batch % n_dev != 0:
-                raise SystemExit(
-                    f"--data_parallel requires --eval_batch divisible by the "
-                    f"local device count ({n_dev}); got "
-                    f"--eval_batch {args.eval_batch}")
-            mesh = make_mesh()
-            params = replicate(mesh, params)
-            shard = lambda b: shard_batch(mesh, b)  # noqa: E731
-            print(f"data-parallel eval over {len(jax.devices())} devices")
+        n_dev = len(jax.devices())
+        if args.eval_batch % n_dev != 0:
+            raise SystemExit(
+                f"--data_parallel requires --eval_batch divisible by the "
+                f"local device count ({n_dev}); got "
+                f"--eval_batch {args.eval_batch}")
+        mesh = make_mesh()
+        params = replicate(mesh, params)
+        shard = lambda b: shard_batch(mesh, b)  # noqa: E731
+        # both paths shard the pair axis: the non-iterative batched forward
+        # and the batched iterative loop (every op in run_batch is
+        # batch-parallel; the all-converged reduce becomes an XLA all-reduce)
+        print(f"data-parallel eval over {len(jax.devices())} devices"
+              + (" (iterative)" if args.use_iterative else ""))
 
     evaluator = AucEval({**eval_config, "pose_backend": args.pose_backend})
     key = jax.random.PRNGKey(0)
@@ -229,16 +236,18 @@ def evaluate(model, params, reader, error_th: float, eval_config: dict, args) ->
             while len(feeds) < eb:  # pad the last batch
                 feeds.append(feeds[-1])
                 nts.append(nts[-1])
-            batch = {k: jnp.asarray(np.stack([f[k] for f in feeds]))
-                     for k in feeds[0]}
+            batch = shard({k: jnp.asarray(np.stack([f[k] for f in feeds]))
+                           for k in feeds[0]})
             if matcher is None:
                 matcher = BatchedIterativeMatcher(
                     model, params, norm_thresh=float(np.mean(nts)),
                     match_ratio=0.1, min_kpts=25,
+                    num_hypotheses=getattr(args, "ransac_hypotheses", 4096),
                     with_uncertainty=args.use_uncertainty)
             t0 = time.time()
             key, sub = jax.random.split(key)
-            out = matcher.run_batch(batch, sub, np.asarray(nts, np.float32))
+            out = matcher.run_batch(
+                batch, sub, shard(jnp.asarray(nts, jnp.float32)))
             matches_b = np.asarray(out["indices0"])
             Rb, tb = np.asarray(out["R"]), np.asarray(out["t"])
             has_b = np.asarray(out["has_pose"])
@@ -376,7 +385,9 @@ def evaluate(model, params, reader, error_th: float, eval_config: dict, args) ->
             if iterative_fn is None:
                 iterative_fn = IterativeMatcher(
                     model, params, norm_thresh=nt, match_ratio=0.1,
-                    min_kpts=25, with_uncertainty=args.use_uncertainty)
+                    min_kpts=25,
+                    num_hypotheses=getattr(args, "ransac_hypotheses", 4096),
+                    with_uncertainty=args.use_uncertainty)
             key, sub = jax.random.split(key)
             out = iterative_fn.run(feed, sub, norm_thresh=nt)
             matches = np.asarray(out["indices0"])

@@ -95,3 +95,43 @@ def test_eval_data_parallel_matches_single_device(tmp_path):
     np.testing.assert_allclose(sharded["precision"], single["precision"], rtol=1e-6)
     np.testing.assert_allclose(sharded["matching_score"], single["matching_score"],
                                rtol=1e-6)
+
+
+def test_eval_data_parallel_iterative_matches_single_device(tmp_path):
+    """--data_parallel now also shards the batched ITERATIVE loop (every op
+    in BatchedIterativeMatcher.run_batch is batch-parallel; the all-converged
+    scalar becomes an XLA all-reduce). 8-device CPU mesh == single device."""
+    from impx.data.synthetic import write_eval_hdf5
+    from impx.data.reader import StandardReader
+    from impx.eval.eval_imp import build_model, evaluate
+    import dataclasses
+    import jax
+
+    ds = write_eval_hdf5(str(tmp_path / "synth.hdf5"), num_pairs=8, seed=3,
+                         n_inliers=48, n_outliers0=48, n_outliers1=48, desc_dim=64)
+    reader = StandardReader({"rawdata_dir": str(tmp_path), "dataset_dir": ds,
+                             "num_kpt": 96})
+    model = build_model("IMP", "spp", n_layers=3)
+    model.config = dataclasses.replace(
+        model.config, descriptor_dim=64, keypoint_encoder=(16, 32))
+    params = model.init(jax.random.PRNGKey(0))
+
+    class Args:
+        use_iterative = True
+        use_uncertainty = False
+        pose_backend = "jax"
+        max_pairs = 8
+        bucket = 128
+        eval_batch = 8
+        data_parallel = False
+
+    single = evaluate(model, params, reader, error_th=1.0,
+                      eval_config={"rescale": 640, "inlier_th": 0.005}, args=Args())
+    Args.data_parallel = True
+    assert len(jax.devices()) == 8
+    sharded = evaluate(model, params, reader, error_th=1.0,
+                       eval_config={"rescale": 640, "inlier_th": 0.005}, args=Args())
+    assert sharded["auc"] == single["auc"]
+    np.testing.assert_allclose(sharded["precision"], single["precision"], rtol=1e-6)
+    np.testing.assert_allclose(sharded["matching_score"], single["matching_score"],
+                               rtol=1e-6)
