@@ -18,9 +18,9 @@ timed jitted program (jax.random from a per-step folded key in the scan
 body), so NOTHING larger than the model params (~27 MB program constants)
 ever crosses the relay in either direction — no host->device stack uploads
 (round 2's bench timed out uploading ~4 GB through a ~2 MB/s relay) and no
-device->host array fetches. Generation cost is ~17 MB of threefry bits per
-~250 ms matcher step: well under 1% of the timed region, and identical
-across all configurations being compared. The JSON line is emitted as soon
+device->host array fetches. Generation is 16 random bits per element (no
+erf_inv): ~4 MB of threefry bits per ~22 ms matcher step, identical across
+all configurations being compared. The JSON line is emitted as soon
 as a wall-clock budget is hit, so a slow day degrades the sample count,
 never the parse.
 """
@@ -83,14 +83,23 @@ def main():
     @jax.jit
     def run_stream(p, seed):
         def body(acc, k):
+            # distinct data each step (defeats result caching) at minimum
+            # generation cost: 16 random bits per element, no erf_inv —
+            # input VALUES cannot affect matcher timing (static shapes, no
+            # data-dependent control flow), only their distinctness matters
             ks = jax.random.split(jax.random.fold_in(jax.random.PRNGKey(0), seed + k), 6)
+
+            def unif(key, shape, lo=0.0, hi=1.0):
+                b = jax.random.bits(key, shape, jnp.uint16)
+                return lo + (hi - lo) * (b.astype(jnp.float32) * (1.0 / 65536.0))
+
             d = {
-                "descriptors0": jax.random.normal(ks[0], (batch, n_kpts, dim), jnp.float32),
-                "descriptors1": jax.random.normal(ks[1], (batch, n_kpts, dim), jnp.float32),
-                "norm_keypoints0": jax.random.uniform(ks[2], (batch, n_kpts, 2)) - 0.5,
-                "norm_keypoints1": jax.random.uniform(ks[3], (batch, n_kpts, 2)) - 0.5,
-                "scores0": jax.random.uniform(ks[4], (batch, n_kpts)),
-                "scores1": jax.random.uniform(ks[5], (batch, n_kpts)),
+                "descriptors0": unif(ks[0], (batch, n_kpts, dim), -1.73, 1.73),
+                "descriptors1": unif(ks[1], (batch, n_kpts, dim), -1.73, 1.73),
+                "norm_keypoints0": unif(ks[2], (batch, n_kpts, 2), -0.5, 0.5),
+                "norm_keypoints1": unif(ks[3], (batch, n_kpts, 2), -0.5, 0.5),
+                "scores0": unif(ks[4], (batch, n_kpts)),
+                "scores1": unif(ks[5], (batch, n_kpts)),
             }
             out = model.produce_matches(p, d, p=0.2, only_last=True,
                                         with_scores=False)

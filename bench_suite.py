@@ -38,17 +38,25 @@ def _gen_batch(seed, batch, n_kpts, dim, with_valid=True):
     import jax.numpy as jnp
 
     ks = jax.random.split(jax.random.fold_in(jax.random.PRNGKey(0), seed), 8)
+
+    # 16 random bits per element, no erf_inv — input VALUES cannot affect
+    # matcher timing (static shapes, no data-dependent control flow), only
+    # their per-step distinctness matters (same policy as bench.py)
+    def unif(key, shape, lo=0.0, hi=1.0):
+        b = jax.random.bits(key, shape, jnp.uint16)
+        return lo + (hi - lo) * (b.astype(jnp.float32) * (1.0 / 65536.0))
+
     d = {
-        "descriptors0": jax.random.normal(ks[0], (batch, n_kpts, dim), jnp.float32),
-        "descriptors1": jax.random.normal(ks[1], (batch, n_kpts, dim), jnp.float32),
-        "norm_keypoints0": jax.random.uniform(ks[2], (batch, n_kpts, 2)) - 0.5,
-        "norm_keypoints1": jax.random.uniform(ks[3], (batch, n_kpts, 2)) - 0.5,
-        "scores0": jax.random.uniform(ks[4], (batch, n_kpts)),
-        "scores1": jax.random.uniform(ks[5], (batch, n_kpts)),
+        "descriptors0": unif(ks[0], (batch, n_kpts, dim), -1.73, 1.73),
+        "descriptors1": unif(ks[1], (batch, n_kpts, dim), -1.73, 1.73),
+        "norm_keypoints0": unif(ks[2], (batch, n_kpts, 2), -0.5, 0.5),
+        "norm_keypoints1": unif(ks[3], (batch, n_kpts, 2), -0.5, 0.5),
+        "scores0": unif(ks[4], (batch, n_kpts)),
+        "scores1": unif(ks[5], (batch, n_kpts)),
     }
     if with_valid:
-        d["valid0"] = jax.random.uniform(ks[6], (batch, n_kpts)) < 0.95
-        d["valid1"] = jax.random.uniform(ks[7], (batch, n_kpts)) < 0.95
+        d["valid0"] = unif(ks[6], (batch, n_kpts)) < 0.95
+        d["valid1"] = unif(ks[7], (batch, n_kpts)) < 0.95
     return d
 
 
@@ -325,8 +333,12 @@ def bench_scannet_e2e(model, batch=4, K=12):
                 jax.random.fold_in(jax.random.PRNGKey(0), seed + k), 2)
             pair = (jax.random.uniform(ks[0], (batch, H, W, 1), jnp.float32),
                     jax.random.uniform(ks[1], (batch, H, W, 1), jnp.float32))
-            f0 = extract_keypoints(sp_params, pair[0], max_keypoints=n_kpts)
-            f1 = extract_keypoints(sp_params, pair[1], max_keypoints=n_kpts)
+            # bf16 CNN (fp32 conv accumulation) — same dtype policy as the
+            # matcher; parity: tests/test_superpoint.py::test_bf16_extraction
+            f0 = extract_keypoints(sp_params, pair[0], max_keypoints=n_kpts,
+                                   compute_dtype=jnp.bfloat16)
+            f1 = extract_keypoints(sp_params, pair[1], max_keypoints=n_kpts,
+                                   compute_dtype=jnp.bfloat16)
             feed = {
                 "descriptors0": f0["descriptors"],
                 "descriptors1": f1["descriptors"],
@@ -443,12 +455,21 @@ def main(selected):
 
     configs = {
         "imp_2048": lambda: bench_forward("imp", DGNNS(cfg()), 2048),
+        # batch-8 probe: amortizes per-step overhead / deepens kernel
+        # pipelines; if this wins, bench.py's default batch should follow
+        "imp_2048_b8": lambda: bench_forward(
+            "imp_b8", DGNNS(cfg()), 2048, batch=8, K=24),
         "eimp_2048_masked": lambda: bench_forward(
             "eimp_masked", AdaGMN(cfg()), 2048),
         "eimp_2048_compact": lambda: bench_forward(
             "eimp_compact4_1024", AdaGMN(cfg(compaction=((4, 1024),))), 2048),
         "imp_sift_2048": lambda: bench_forward(
             "imp_sift", DGNNS(cfg("sift")), 2048),
+        # the log-domain OT head (fused iterated-logsumexp kernel) vs the
+        # default eval-exact non-log head: the decide-with-data point for
+        # which Sinkhorn head the flagship should run
+        "imp_2048_logot": lambda: bench_forward(
+            "imp_logot", DGNNS(cfg(log_ot=True)), 2048),
         "imp_iterative_2048": lambda: bench_iterative(
             "imp_iterative_worstcase", DGNNS(cfg()), 2048),
         "imp_iterative_trained_2048": lambda: bench_iterative_trained(
@@ -463,6 +484,10 @@ def main(selected):
             lambda c: bench_iterative_trained(
                 AdaGMN(c), 2048, with_uncertainty=True, name="eimp",
                 train_model=DGNNS(c)))(cfg()),
+        "eimp_iterative_trained_2048_b16": lambda: (
+            lambda c: bench_iterative_trained(
+                AdaGMN(c), 2048, with_uncertainty=True, name="eimp",
+                train_model=DGNNS(c), batch=16, K=3))(cfg()),
         "scannet_spp_e2e": lambda: bench_scannet_e2e(DGNNS(cfg())),
         "train_step_1024": lambda: bench_train_step(DGNNS(cfg())),
     }

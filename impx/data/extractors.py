@@ -74,6 +74,9 @@ class ExtractSuperpoint:
         self.resize = config.get("resize", [-1])
         self.padding = config.get("padding", False)
         self.weight_path = config.get("weight_path", "weights/superpoint_v1.pth")
+        # "bfloat16" runs the CNN at MXU double rate (fp32 accumulation);
+        # extraction parity: tests/test_superpoint.py::test_bf16_extraction
+        self.compute_dtype = config.get("compute_dtype", "float32")
         self._params = None
 
     @property
@@ -110,7 +113,8 @@ class ExtractSuperpoint:
             img = np.pad(img, ((0, ph), (0, pw)))
         x = jnp.asarray(img / 255.0, jnp.float32)[None, :, :, None]
         out = extract_keypoints(self.params, x, max_keypoints=self.num_kp,
-                                keypoint_threshold=self.det_th)
+                                keypoint_threshold=self.det_th,
+                                compute_dtype=jnp.dtype(self.compute_dtype))
         valid = np.asarray(out["valid"][0])
         kpt = np.asarray(out["keypoints"][0])[valid]
         score = np.asarray(out["scores"][0])[valid]

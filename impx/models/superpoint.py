@@ -30,10 +30,13 @@ DEFAULT_CONFIG = {
 
 
 def _conv(p, x, stride: int = 1):
+    # inputs may be bf16 (see backbone compute_dtype); accumulate in fp32 on
+    # the MXU either way, then return to the input dtype
     y = jax.lax.conv_general_dilated(
-        x, p["w"], window_strides=(stride, stride), padding="SAME",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"))
-    return y + p["b"]
+        x, p["w"].astype(x.dtype), window_strides=(stride, stride),
+        padding="SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32)
+    return (y + p["b"]).astype(x.dtype)
 
 
 def _max_pool(x, k: int, stride: int):
@@ -56,9 +59,13 @@ def simple_nms(scores, nms_radius: int):
     return jnp.where(max_mask, scores, zeros)
 
 
-def backbone(params, image):
-    """image [B,H,W,1] in [0,1] -> (dense scores [B,H,W], descriptors [B,H/8,W/8,D])."""
-    x = image
+def backbone(params, image, compute_dtype=jnp.float32):
+    """image [B,H,W,1] in [0,1] -> (dense scores [B,H,W], descriptors [B,H/8,W/8,D]).
+
+    compute_dtype=bfloat16 runs the VGG stack on the MXU at double rate with
+    fp32 accumulation inside every conv (preferred_element_type); the score
+    softmax and descriptor L2 norm are always computed in fp32."""
+    x = image.astype(compute_dtype)
     for name in ["conv1a", "conv1b"]:
         x = jax.nn.relu(_conv(params[name], x))
     x = _max_pool(x, 2, 2)
@@ -72,14 +79,14 @@ def backbone(params, image):
         x = jax.nn.relu(_conv(params[name], x))
 
     cPa = jax.nn.relu(_conv(params["convPa"], x))
-    scores = _conv(params["convPb"], cPa)  # [B, h, w, 65]
+    scores = _conv(params["convPb"], cPa).astype(jnp.float32)  # [B, h, w, 65]
     scores = jax.nn.softmax(scores, axis=-1)[..., :-1]
     b, h, w, _ = scores.shape
     scores = scores.reshape(b, h, w, 8, 8)
     scores = scores.transpose(0, 1, 3, 2, 4).reshape(b, h * 8, w * 8)
 
     cDa = jax.nn.relu(_conv(params["convDa"], x))
-    desc = _conv(params["convDb"], cDa)
+    desc = _conv(params["convDb"], cDa).astype(jnp.float32)
     desc = desc / (jnp.linalg.norm(desc, axis=-1, keepdims=True) + 1e-15)
     return scores, desc
 
@@ -118,7 +125,7 @@ def sample_descriptors(keypoints, descriptors, s: int = 8):
 
 
 @partial(jax.jit, static_argnames=("nms_radius", "max_keypoints", "border",
-                                   "keypoint_threshold"))
+                                   "keypoint_threshold", "compute_dtype"))
 def extract_keypoints(
     params,
     image,
@@ -126,10 +133,11 @@ def extract_keypoints(
     max_keypoints: int = 1024,
     border: int = 4,
     keypoint_threshold: float = 0.0025,
+    compute_dtype=jnp.float32,
 ):
     """image [B,H,W,1] -> dict(keypoints [B,K,2] (x,y), scores [B,K],
     descriptors [B,K,D], valid [B,K]). Fixed K = max_keypoints."""
-    scores, dense_desc = backbone(params, image)
+    scores, dense_desc = backbone(params, image, compute_dtype=compute_dtype)
     scores = simple_nms(scores, nms_radius)
     b, h, w = scores.shape
 

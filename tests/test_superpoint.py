@@ -91,3 +91,68 @@ def test_keypoint_extraction_parity(torch_superpoint):
             np.testing.assert_allclose(d, rd, rtol=1e-3, atol=1e-4)
             checked += 1
     assert checked >= min(10, len(kpts))
+
+
+def test_bf16_extraction_agrees_with_fp32():
+    """The bf16 compute path (MXU double-rate, fp32 conv accumulation) must
+    produce near-identical extractions. Random weights give a near-FLAT score
+    map (all scores within ~1e-3 of each other), so top-K membership can churn
+    at the margin under any rounding: the principled assertions are (a) dense
+    score maps numerically close, (b) any keypoint selected by one dtype but
+    not the other sits within a small margin of the other's selection cutoff,
+    (c) descriptors at shared keypoints are unit-cosine. With trained weights
+    on real images the peaks are orders of magnitude above this margin."""
+    import jax
+
+    params = sp.init_params(jax.random.PRNGKey(3))
+    img = jax.random.uniform(jax.random.PRNGKey(4), (1, 120, 160, 1))
+
+    out32 = sp.extract_keypoints(params, img, max_keypoints=128)
+    out16 = sp.extract_keypoints(params, img, max_keypoints=128,
+                                 compute_dtype=jnp.bfloat16)
+
+    s32, _ = sp.backbone(params, img)
+    s16, _ = sp.backbone(params, img, compute_dtype=jnp.bfloat16)
+    s32, s16 = np.asarray(s32), np.asarray(s16)
+    span = float(s32.max() - s32.min()) + 1e-12
+    margin = float(np.abs(s32 - s16).max())
+    assert margin < 0.15 * span, f"dense score drift {margin:.2e} vs span {span:.2e}"
+
+    v32 = np.asarray(out32["valid"][0])
+    v16 = np.asarray(out16["valid"][0])
+    k32 = {tuple(k) for k in np.asarray(out32["keypoints"][0])[v32].astype(int)}
+    k16 = {tuple(k) for k in np.asarray(out16["keypoints"][0])[v16].astype(int)}
+    if not k32:
+        pytest.skip("no keypoints above threshold with these random weights")
+    overlap = len(k32 & k16) / max(len(k32 | k16), 1)
+    assert overlap >= 0.85, f"keypoint set overlap {overlap:.3f}"
+    # every disagreement must be a margin case: its fp32 score within the
+    # dtype drift of the other set's selection cutoff
+    sc32 = np.asarray(out32["scores"][0])[v32]
+    sc16 = np.asarray(out16["scores"][0])[v16]
+    cut32, cut16 = float(sc32.min()), float(sc16.min())
+    smap = {tuple(k.astype(int)): float(s) for k, s in zip(
+        np.asarray(out32["keypoints"][0])[v32], sc32)}
+    smap16 = {tuple(k.astype(int)): float(s) for k, s in zip(
+        np.asarray(out16["keypoints"][0])[v16], sc16)}
+    # ... OR an NMS winner shift: the other dtype selected a neighbor within
+    # the NMS radius (a one-ulp score flip moves the local max by a pixel)
+    def explained(k, other_set, score, other_cut):
+        if score < other_cut + 2 * margin:
+            return True
+        return any(abs(k[0] - o[0]) <= 4 and abs(k[1] - o[1]) <= 4
+                   for o in other_set)
+
+    for k in (k32 - k16):
+        assert explained(k, k16, smap[k], cut16), (k, smap[k], cut16, margin)
+    for k in (k16 - k32):
+        assert explained(k, k32, smap16[k], cut32), (k, smap16[k], cut32, margin)
+
+    d32 = {tuple(k.astype(int)): d for k, d in zip(
+        np.asarray(out32["keypoints"][0])[v32],
+        np.asarray(out32["descriptors"][0])[v32])}
+    d16 = {tuple(k.astype(int)): d for k, d in zip(
+        np.asarray(out16["keypoints"][0])[v16],
+        np.asarray(out16["descriptors"][0])[v16])}
+    cosines = [float(np.dot(d32[k], d16[k])) for k in (k32 & k16)]
+    assert np.min(cosines) > 0.995, f"min descriptor cosine {np.min(cosines):.4f}"
