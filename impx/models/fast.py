@@ -128,6 +128,56 @@ def _attn_block(L, x, source, qk_carry, key_mask, query_mask, num_heads, ac_fn,
     return delta, {"q": q_used, "k": k_used}
 
 
+def final_matches_from_desc(model, stacked, desc, b, valid0, valid1, p,
+                            with_scores, interpret):
+    """Last-iteration match extraction from the final stacked descriptors
+    (the tail of forward_scan, shared with the pipeline-parallel forward):
+    final projection -> distance -> fused (log-)Sinkhorn stats or dual
+    softmax -> mutual-NN matches."""
+    cfg = model.config
+    params_like = {"final_proj": [
+        {"w": stacked["final_w"][-1], "b": stacked["final_b"][-1]}],
+        "bin_score": stacked["bin_score"]}
+
+    desc0, desc1 = desc[:b].astype(jnp.float32), desc[b:].astype(jnp.float32)
+    dist = model.compute_distance(params_like, desc0, desc1, layer_id=-1)
+    if cfg.log_ot and cfg.with_sinkhorn:
+        # log-domain head on the fast path: fused iterated-logsumexp
+        # kernel; mscores = exp(log row max), scores = log-plan (the
+        # compute_score contract when log_ot is set)
+        from impx.ops.matching import matches_from_stats
+        from impx.ops.pallas.log_sinkhorn import (
+            log_sinkhorn_fused_stats, log_plan_from_uv)
+
+        stats = log_sinkhorn_fused_stats(
+            dist, stacked["bin_score"], cfg.sinkhorn_iterations,
+            valid0, valid1, interpret=interpret)
+        idx0, idx1, ms0, ms1 = matches_from_stats(
+            jnp.exp(stats["max0"]), stats["idx0"], stats["idx1"], p,
+            valid0, valid1)
+        score = (log_plan_from_uv(
+            dist, stacked["bin_score"], stats["u"], stats["v"],
+            valid0, valid1) if with_scores else None)
+    elif cfg.with_sinkhorn:
+        from impx.ops.matching import matches_from_stats
+        from impx.ops.pallas.sinkhorn import (
+            sinkhorn_fused_stats, sinkhorn_plan_from_uv)
+
+        stats = sinkhorn_fused_stats(
+            dist, stacked["bin_score"], cfg.sinkhorn_iterations,
+            valid0, valid1, interpret=interpret)
+        idx0, idx1, ms0, ms1 = matches_from_stats(
+            stats["max0"], stats["idx0"], stats["idx1"], p, valid0, valid1)
+        score = (sinkhorn_plan_from_uv(
+            dist, stacked["bin_score"], stats["u"], stats["v"],
+            valid0, valid1) if with_scores else None)
+    else:
+        score = model.compute_score(params_like, dist, valid0, valid1)
+        idx0, idx1, ms0, ms1 = model.compute_matches(
+            score, p=p, valid0=valid0, valid1=valid1)
+    return {"scores": [score], "indices0": [idx0], "mscores0": [ms0]}
+
+
 def forward_scan(
     model,
     stacked: dict,
@@ -195,48 +245,9 @@ def forward_scan(
     per_it = {"self": stacked["self"], "cross": stacked["cross"]}
     (desc, _, _), descs = jax.lax.scan(body, (desc, zero_qk, zero_qk), per_it)
 
-    params_like = {"final_proj": [
-        {"w": stacked["final_w"][-1], "b": stacked["final_b"][-1]}],
-        "bin_score": stacked["bin_score"]}
-
     if only_last:
-        desc0, desc1 = desc[:b].astype(jnp.float32), desc[b:].astype(jnp.float32)
-        dist = model.compute_distance(params_like, desc0, desc1, layer_id=-1)
-        if cfg.log_ot and cfg.with_sinkhorn:
-            # log-domain head on the fast path: fused iterated-logsumexp
-            # kernel; mscores = exp(log row max), scores = log-plan (the
-            # compute_score contract when log_ot is set)
-            from impx.ops.matching import matches_from_stats
-            from impx.ops.pallas.log_sinkhorn import (
-                log_sinkhorn_fused_stats, log_plan_from_uv)
-
-            stats = log_sinkhorn_fused_stats(
-                dist, stacked["bin_score"], cfg.sinkhorn_iterations,
-                valid0, valid1, interpret=interpret)
-            idx0, idx1, ms0, ms1 = matches_from_stats(
-                jnp.exp(stats["max0"]), stats["idx0"], stats["idx1"], p,
-                valid0, valid1)
-            score = (log_plan_from_uv(
-                dist, stacked["bin_score"], stats["u"], stats["v"],
-                valid0, valid1) if with_scores else None)
-        elif cfg.with_sinkhorn:
-            from impx.ops.matching import matches_from_stats
-            from impx.ops.pallas.sinkhorn import (
-                sinkhorn_fused_stats, sinkhorn_plan_from_uv)
-
-            stats = sinkhorn_fused_stats(
-                dist, stacked["bin_score"], cfg.sinkhorn_iterations,
-                valid0, valid1, interpret=interpret)
-            idx0, idx1, ms0, ms1 = matches_from_stats(
-                stats["max0"], stats["idx0"], stats["idx1"], p, valid0, valid1)
-            score = (sinkhorn_plan_from_uv(
-                dist, stacked["bin_score"], stats["u"], stats["v"],
-                valid0, valid1) if with_scores else None)
-        else:
-            score = model.compute_score(params_like, dist, valid0, valid1)
-            idx0, idx1, ms0, ms1 = model.compute_matches(
-                score, p=p, valid0=valid0, valid1=valid1)
-        return {"scores": [score], "indices0": [idx0], "mscores0": [ms0]}
+        return final_matches_from_desc(model, stacked, desc, b, valid0, valid1,
+                                       p, with_scores, interpret)
 
     # per-iteration outputs: project each collected iteration (host loop over
     # nI small programs is fine here; this path is for diagnostics/parity)

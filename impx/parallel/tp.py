@@ -117,3 +117,34 @@ def shard_params_tp(mesh: Mesh, params: dict, model_axis: str = MODEL_AXIS):
     Optimizer state initialized from the returned params inherits the
     shardings (optax moments are zeros_like of the params)."""
     return shard_by_specs(mesh, params, matcher_param_specs(params, model_axis))
+
+
+# ------------------------------------------------------------------ sequence parallel
+
+_SEQ_KEYS = ("descriptors0", "descriptors1", "keypoints0", "keypoints1",
+             "norm_keypoints0", "norm_keypoints1", "scores0", "scores1")
+
+
+def shard_batch_sp(mesh: Mesh, batch: dict, data_axis: str = DATA_AXIS,
+                   seq_axis: str = MODEL_AXIS) -> dict:
+    """Sequence parallelism: shard the KEYPOINT axis of the per-image feature
+    arrays over the mesh's second axis, on top of batch sharding over `data`.
+
+    Params stay replicated (they are tiny); activations [B, N, D] enter
+    N-sharded and GSPMD inserts the all-gathers where an op genuinely needs
+    the full keypoint set (attention keys, Sinkhorn rows) while everything
+    pointwise (projections, MLPs, norms over channels) stays N-local. This is
+    the TPU analogue of context parallelism — useful when N grows past what
+    one chip's VMEM-friendly attention tile wants, and the same mechanism
+    EIMP's token pruning works against (SURVEY §5.7).
+
+    Arrays whose second axis is not the keypoint axis (matching_mask's N+1
+    rows, intrinsics, poses) shard over `data` only."""
+    def _shard(key, x):
+        if key in _SEQ_KEYS and x.ndim >= 2:
+            spec = P(data_axis, seq_axis, *([None] * (x.ndim - 2)))
+        else:
+            spec = P(data_axis, *([None] * (x.ndim - 1)))
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    return {k: _shard(k, np.asarray(v)) for k, v in batch.items()}

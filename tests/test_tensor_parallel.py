@@ -106,6 +106,58 @@ def test_tp_train_step_matches_single_device(mesh_shape):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2.1e-4)
 
 
+@pytest.mark.parametrize("mesh_shape", [(2, 4), (4, 2)])
+def test_sp_forward_matches_single_device(mesh_shape):
+    """Sequence parallelism: inputs sharded on the KEYPOINT axis (params
+    replicated) must reproduce the single-device forward exactly — GSPMD
+    gathers the key sets where attention/Sinkhorn need them."""
+    from impx.parallel.tp import shard_batch_sp
+
+    model = _model()
+    params = model.init(jax.random.PRNGKey(4))
+    batch_np = _batch(4, seed=4)
+    feed = {k: jnp.asarray(v) for k, v in batch_np.items()}
+
+    fwd = jax.jit(lambda p, d: model.produce_matches(p, d, p=0.2,
+                                                     only_last=True))
+    ref = fwd(params, feed)
+
+    mesh = make_2d_mesh(*mesh_shape)
+    with mesh:
+        sharded = shard_batch_sp(mesh, batch_np)
+        out = fwd(params, sharded)
+
+    np.testing.assert_array_equal(np.asarray(ref["indices0"]),
+                                  np.asarray(out["indices0"]))
+    np.testing.assert_allclose(np.asarray(ref["mscores0"]),
+                               np.asarray(out["mscores0"]), atol=1e-5)
+
+
+def test_sp_train_step_matches_single_device():
+    from impx.parallel.tp import shard_batch_sp
+
+    model = _model()
+    params = model.init(jax.random.PRNGKey(6))
+    hp = TrainHyperParams(lr=1e-4)
+    step = make_train_step(model, hp, donate=False)
+
+    batch_np = _batch(8, seed=6)
+    opt_state = make_optimizer(hp).init(params)
+    p1, _, m1, _ = step(params, opt_state, jnp.asarray(0),
+                        {k: jnp.asarray(v) for k, v in batch_np.items()},
+                        init_stats())
+
+    mesh = make_2d_mesh(2, 4)
+    with mesh:
+        o2 = make_optimizer(hp).init(params)
+        sharded = shard_batch_sp(mesh, batch_np)
+        p2, _, m2, _ = step(params, o2, jnp.asarray(0), sharded, init_stats())
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-4)
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2.1e-4)
+
+
 def test_tp_opt_state_inherits_sharding():
     model = _model()
     params = model.init(jax.random.PRNGKey(3))
