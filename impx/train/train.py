@@ -64,6 +64,12 @@ parser.add_argument("--geo_clamp", type=float, default=0.05)
 parser.add_argument("--multihost", action="store_true",
                     help="initialize jax.distributed (multi-host mesh over DCN; "
                          "the data mesh then spans all hosts' chips)")
+parser.add_argument("--model_parallel", type=int, default=1,
+                    help=">1 trains over a 2-D (data, model) mesh with "
+                         "Megatron-style tensor-parallel param shardings "
+                         "(impx/parallel/tp.py); must divide the local device "
+                         "count, and batch_size must remain divisible by the "
+                         "data-axis size")
 
 
 def build_model(args):

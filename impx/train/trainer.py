@@ -82,7 +82,24 @@ class Trainer:
         self.dataset = dataset
         self.args = args
         self.eval_fn = eval_fn
-        self.mesh = mesh if mesh is not None else make_mesh()
+        mp = int(getattr(args, "model_parallel", 1) or 1)
+        if mesh is not None:
+            self.mesh = mesh
+        elif mp > 1:
+            # 2-D (data, model) mesh: Megatron-style tensor parallelism
+            # (impx/parallel/tp.py) on top of data parallelism
+            import jax
+
+            from impx.parallel.tp import make_2d_mesh
+
+            n_dev = len(jax.devices())
+            if n_dev % mp:
+                raise SystemExit(f"--model_parallel {mp} does not divide the "
+                                 f"{n_dev} local devices")
+            self.mesh = make_2d_mesh(n_dev // mp, mp)
+        else:
+            self.mesh = make_mesh()
+        self.tensor_parallel = "model" in self.mesh.axis_names
 
         self.hp = TrainHyperParams(
             lr=args.lr, min_lr=getattr(args, "min_lr", 1e-6),
@@ -249,10 +266,25 @@ class Trainer:
         return params, opt_state, (loss_sum / n_good if n_good else None)
 
     def train(self, params, opt_state=None):
-        if opt_state is None:
-            opt_state = self.tx.init(params)
-        params = replicate(self.mesh, params)
-        opt_state = replicate(self.mesh, opt_state)
+        if self.tensor_parallel:
+            from impx.parallel.tp import shard_params_tp
+
+            params = shard_params_tp(self.mesh, params)
+            if opt_state is None:
+                opt_state = self.tx.init(params)  # moments inherit shardings
+            else:
+                # resumed host-side state: place every leaf like a fresh init
+                import jax
+
+                template = self.tx.init(params)
+                opt_state = jax.tree.map(
+                    lambda t, x: jax.device_put(x, t.sharding),
+                    template, opt_state)
+        else:
+            if opt_state is None:
+                opt_state = self.tx.init(params)
+            params = replicate(self.mesh, params)
+            opt_state = replicate(self.mesh, opt_state)
 
         while self.epoch < self.args.epochs:
             t0 = time.time()

@@ -158,6 +158,40 @@ def test_sp_train_step_matches_single_device():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2.1e-4)
 
 
+def test_trainer_model_parallel_epoch(tmp_path):
+    """Trainer(--model_parallel 2) runs a full epoch on the (4,2) mesh and
+    produces the same epoch loss as the plain data-parallel trainer."""
+    import argparse
+
+    from impx.data.megadepth import SyntheticMegadepth
+    from impx.train.trainer import Trainer
+
+    def run(mp):
+        model = _model(n_layers=2)
+        ds = SyntheticMegadepth(num_pairs=8, nfeatures=32, desc_dim=32,
+                                seed=0)
+        args = argparse.Namespace(
+            lr=1e-4, network="dgnns", feature="spp", batch_size=8, epochs=1,
+            save_path=str(tmp_path), max_keypoints=32, its_per_epoch=-1,
+            log_intervals=1, model_parallel=mp)
+        trainer = Trainer(model, ds, args)
+        if mp > 1:
+            assert trainer.tensor_parallel
+            assert dict(zip(trainer.mesh.axis_names,
+                            trainer.mesh.devices.shape)) == {"data": 4,
+                                                             "model": 2}
+        params = model.init(jax.random.PRNGKey(7))
+        if mp > 1:
+            params = shard_params_tp(trainer.mesh, params)
+        opt_state = trainer.tx.init(params)
+        _, _, loss = trainer.process_epoch(params, opt_state)
+        return float(loss)
+
+    l_dp = run(1)
+    l_tp = run(2)
+    np.testing.assert_allclose(l_dp, l_tp, rtol=1e-4)
+
+
 def test_tp_opt_state_inherits_sharding():
     model = _model()
     params = model.init(jax.random.PRNGKey(3))
