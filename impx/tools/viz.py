@@ -110,13 +110,9 @@ def make_matching_plot(image0, image1, kpts0, kpts1, mkpts0, mkpts1, color,
     [M, 4] RGBA per match (e.g. error_colormap(errors)). fast_viz routes to
     the cv2 canvas (returns the image array instead of saving a figure)."""
     if fast_viz:
-        matches = np.stack([np.arange(len(mkpts0)), np.arange(len(mkpts1))], 1)
-        canvas = draw_matches(image0, image1, mkpts0, mkpts1, matches)
-        if path is not None:
-            import cv2
-
-            cv2.imwrite(str(path), canvas)
-        return canvas
+        return make_matching_plot_fast(
+            image0, image1, kpts0, kpts1, mkpts0, mkpts1, color, text=text,
+            path=path, show_keypoints=show_keypoints, small_text=small_text)
 
     import matplotlib.pyplot as plt
 
@@ -137,6 +133,77 @@ def make_matching_plot(image0, image1, kpts0, kpts1, mkpts0, mkpts1, color,
         fig.savefig(str(path), bbox_inches="tight", pad_inches=0)
     plt.close(fig)
     return fig
+
+
+def make_matching_plot_fast(image0, image1, kpts0, kpts1, mkpts0, mkpts1,
+                            color, text=(), path=None, show_keypoints=False,
+                            margin=10, opencv_display=False,
+                            opencv_title="matches", small_text=()):
+    """cv2-only annotated match canvas (reference tools/utils.py:776-847):
+    side-by-side grayscale pair with `margin` px separation, per-match RGBA
+    colors, optional keypoint dots, headline text top-left and small text
+    bottom-left. Returns the uint8 BGR canvas; the matplotlib-free path used
+    for video/demo overlays."""
+    import cv2
+
+    image0 = np.asarray(image0)
+    image1 = np.asarray(image1)
+    h0, w0 = image0.shape[:2]
+    h1, w1 = image1.shape[:2]
+    h, w = max(h0, h1), w0 + w1 + margin
+    out = 255 * np.ones((h, w), np.uint8)
+    out[:h0, :w0] = image0 if image0.ndim == 2 else cv2.cvtColor(
+        image0, cv2.COLOR_BGR2GRAY)
+    out[:h1, w0 + margin:] = image1 if image1.ndim == 2 else cv2.cvtColor(
+        image1, cv2.COLOR_BGR2GRAY)
+    out = np.stack([out] * 3, -1)
+
+    if show_keypoints:
+        white, black = (255, 255, 255), (0, 0, 0)
+        for x, y in np.round(kpts0).astype(int):
+            cv2.circle(out, (x, y), 2, black, -1, lineType=cv2.LINE_AA)
+            cv2.circle(out, (x, y), 1, white, -1, lineType=cv2.LINE_AA)
+        for x, y in np.round(kpts1).astype(int):
+            cv2.circle(out, (x + margin + w0, y), 2, black, -1,
+                       lineType=cv2.LINE_AA)
+            cv2.circle(out, (x + margin + w0, y), 1, white, -1,
+                       lineType=cv2.LINE_AA)
+
+    mkpts0 = np.round(np.asarray(mkpts0)).astype(int)
+    mkpts1 = np.round(np.asarray(mkpts1)).astype(int)
+    color = (np.asarray(color)[:, :3][:, ::-1] * 255).astype(int)  # RGBA->BGR
+    for (x0, y0), (x1, y1), c in zip(mkpts0, mkpts1, color):
+        c = c.tolist()
+        cv2.line(out, (x0, y0), (x1 + margin + w0, y1), color=c, thickness=1,
+                 lineType=cv2.LINE_AA)
+        cv2.circle(out, (x0, y0), 2, c, -1, lineType=cv2.LINE_AA)
+        cv2.circle(out, (x1 + margin + w0, y1), 2, c, -1,
+                   lineType=cv2.LINE_AA)
+
+    sc = min(h / 640.0, 2.0)  # text scale relative to a 640px-high canvas
+    ht = int(30 * sc)
+    for i, t in enumerate(text):
+        cv2.putText(out, t, (int(8 * sc), ht * (i + 1)),
+                    cv2.FONT_HERSHEY_DUPLEX, 1.0 * sc, (0, 0, 0), 2,
+                    cv2.LINE_AA)
+        cv2.putText(out, t, (int(8 * sc), ht * (i + 1)),
+                    cv2.FONT_HERSHEY_DUPLEX, 1.0 * sc, (255, 255, 255), 1,
+                    cv2.LINE_AA)
+    hs = int(18 * sc)
+    for i, t in enumerate(reversed(small_text)):
+        cv2.putText(out, t, (int(8 * sc), int(h - hs * (i + 0.6))),
+                    cv2.FONT_HERSHEY_DUPLEX, 0.5 * sc, (0, 0, 0), 2,
+                    cv2.LINE_AA)
+        cv2.putText(out, t, (int(8 * sc), int(h - hs * (i + 0.6))),
+                    cv2.FONT_HERSHEY_DUPLEX, 0.5 * sc, (255, 255, 255), 1,
+                    cv2.LINE_AA)
+
+    if path is not None:
+        cv2.imwrite(str(path), out)
+    if opencv_display:
+        cv2.imshow(opencv_title, out)
+        cv2.waitKey(1)
+    return out
 
 
 def eval_matches(pred_matches, gt_matches):

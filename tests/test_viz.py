@@ -39,10 +39,30 @@ def test_make_matching_plot_roundtrip(tmp_path):
     viz.make_matching_plot(img0, img1, kpts, kpts, mk0, mk1, color,
                            text=["test"], path=str(out), show_keypoints=True)
     assert out.exists() and out.stat().st_size > 0
-    # fast path (cv2 canvas)
+    # fast path (cv2 canvas; reference layout has a 10px margin)
     canvas = viz.make_matching_plot(img0, img1, kpts, kpts, mk0, mk1, color,
                                     fast_viz=True)
-    assert canvas.shape[0] == 120 and canvas.shape[1] == 320
+    assert canvas.shape == (120, 330, 3)
+
+
+def test_make_matching_plot_fast(tmp_path):
+    pytest.importorskip("cv2")
+    rs = np.random.RandomState(2)
+    img0 = (rs.rand(120, 160) * 255).astype(np.uint8)
+    img1 = (rs.rand(100, 140) * 255).astype(np.uint8)
+    kpts0 = rs.rand(20, 2) * [160, 120]
+    kpts1 = rs.rand(20, 2) * [140, 100]
+    mk0, mk1 = kpts0[:8], kpts1[:8]
+    color = viz.error_colormap(rs.rand(8))
+    out = tmp_path / "fast.png"
+    canvas = viz.make_matching_plot_fast(
+        img0, img1, kpts0, kpts1, mk0, mk1, color,
+        text=["IMP", "matches: 8"], path=str(out), show_keypoints=True,
+        small_text=["th: 0.2"])
+    # max height, widths + margin; match lines drawn in color
+    assert canvas.shape == (120, 160 + 140 + 10, 3)
+    assert out.exists() and out.stat().st_size > 0
+    assert not (canvas == canvas[0, 0]).all()  # something was drawn
 
 
 def test_draw_matches_and_indices0():
