@@ -158,6 +158,64 @@ def test_sp_train_step_matches_single_device():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2.1e-4)
 
 
+def test_tp_train_step_bn_matches_single_device():
+    """TP with norm_fn='bn': the column-parallel hidden blocks carry
+    channel-sharded bn params; batch statistics stay per-channel so the
+    sharded step must still equal single-device numerics (and the global
+    batch stats must ride the data axis like SyncBatchNorm)."""
+    cfg = MatcherConfig(descriptor_dim=32, keypoint_encoder=(16, 32),
+                        n_layers=2, sinkhorn_iterations=10, norm_fn="bn",
+                        n_min_tokens=8)
+    model = DGNNS(cfg)
+    params = model.init(jax.random.PRNGKey(8))
+    hp = TrainHyperParams(lr=1e-4)
+    step = make_train_step(model, hp, donate=False)
+
+    batch_np = _batch(8, seed=8)
+    opt_state = make_optimizer(hp).init(params)
+    p1, _, m1, _ = step(params, opt_state, jnp.asarray(0),
+                        {k: jnp.asarray(v) for k, v in batch_np.items()},
+                        init_stats())
+
+    mesh = make_2d_mesh(4, 2)
+    with mesh:
+        p_tp = shard_params_tp(mesh, params)
+        o_tp = make_optimizer(hp).init(p_tp)
+        sharded = shard_batch(mesh, batch_np)
+        p2, _, m2, _ = step(p_tp, o_tp, jnp.asarray(0), sharded, init_stats())
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-4)
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2.1e-4)
+
+
+def test_tp_adagmn_forward_matches_single_device():
+    """EIMP adaptive pooling (mass gathers + masks) under tensor-parallel
+    params must reproduce the single-device matches."""
+    from impx.models import AdaGMN
+
+    cfg = MatcherConfig(descriptor_dim=32, keypoint_encoder=(16, 32),
+                        n_layers=3, sinkhorn_iterations=10, norm_fn="in",
+                        n_min_tokens=8, first_it_to_update=1)
+    model = AdaGMN(cfg)
+    params = model.init(jax.random.PRNGKey(9))
+    batch_np = _batch(4, seed=9)
+    feed = {k: jnp.asarray(v) for k, v in batch_np.items()}
+
+    fwd = jax.jit(lambda p, d: model.produce_matches(p, d, p=0.2,
+                                                     only_last=True))
+    ref = fwd(params, feed)
+
+    mesh = make_2d_mesh(4, 2)
+    with mesh:
+        p_tp = shard_params_tp(mesh, params)
+        sharded = shard_batch(mesh, batch_np)
+        out = fwd(p_tp, sharded)
+
+    np.testing.assert_array_equal(np.asarray(ref["indices0"]),
+                                  np.asarray(out["indices0"]))
+
+
 def test_trainer_model_parallel_epoch(tmp_path):
     """Trainer(--model_parallel 2) runs a full epoch on the (4,2) mesh and
     produces the same epoch loss as the plain data-parallel trainer."""
