@@ -463,6 +463,16 @@ def main(selected):
             "eimp_masked", AdaGMN(cfg()), 2048),
         "eimp_2048_compact": lambda: bench_forward(
             "eimp_compact4_1024", AdaGMN(cfg(compaction=((4, 1024),))), 2048),
+        # full protocol-floor schedule (the headline EIMP number) and an
+        # earlier-start variant: compaction is exact while survivors fit the
+        # buckets (overflow is reported + mask-only fallback), so an earlier
+        # schedule trades only overflow risk, not silent accuracy
+        "eimp_2048_compact_deep": lambda: bench_forward(
+            "eimp_compact4_1024_8_512_12_256",
+            AdaGMN(cfg(compaction=((4, 1024), (8, 512), (12, 256)))), 2048),
+        "eimp_2048_compact_aggr": lambda: bench_forward(
+            "eimp_compact3_1024_7_512_11_256",
+            AdaGMN(cfg(compaction=((3, 1024), (7, 512), (11, 256)))), 2048),
         "imp_sift_2048": lambda: bench_forward(
             "imp_sift", DGNNS(cfg("sift")), 2048),
         # the log-domain OT head (fused iterated-logsumexp kernel) vs the
