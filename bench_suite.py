@@ -459,6 +459,9 @@ def main(selected):
         # pipelines; if this wins, bench.py's default batch should follow
         "imp_2048_b8": lambda: bench_forward(
             "imp_b8", DGNNS(cfg()), 2048, batch=8, K=24),
+        # batch-1 probe: single-pair serving latency (ms/pair = 1000/value)
+        "imp_2048_b1": lambda: bench_forward(
+            "imp_b1", DGNNS(cfg()), 2048, batch=1, K=96),
         "eimp_2048_masked": lambda: bench_forward(
             "eimp_masked", AdaGMN(cfg()), 2048),
         "eimp_2048_compact": lambda: bench_forward(
