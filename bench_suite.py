@@ -493,6 +493,11 @@ def main(selected):
             DGNNS(cfg()), 2048, batch=16, K=3),
         "imp_iterative_trained_2048_b32": lambda: bench_iterative_trained(
             DGNNS(cfg()), 2048, batch=32, K=2),
+        # 4x hypothesis budget at batch 16: steadier checkpoint poses ->
+        # more pairs pass the 1.5-degree pose-diff stop -> fewer iterations;
+        # tests whether accuracy buys net speed
+        "imp_iterative_trained_2048_b16_h1024": lambda: bench_iterative_trained(
+            DGNNS(cfg()), 2048, batch=16, K=3, num_hypotheses=1024),
         "eimp_iterative_trained_2048": lambda: (
             lambda c: bench_iterative_trained(
                 AdaGMN(c), 2048, with_uncertainty=True, name="eimp",
@@ -503,6 +508,17 @@ def main(selected):
                 train_model=DGNNS(c), batch=16, K=3))(cfg()),
         "scannet_spp_e2e": lambda: bench_scannet_e2e(DGNNS(cfg())),
         "train_step_1024": lambda: bench_train_step(DGNNS(cfg())),
+        # log-domain OT head (fused iterated-logsumexp kernel with remat VJP;
+        # the bf16-preferred head) — same matcher, different score head
+        "train_step_1024_logot": lambda: bench_train_step(
+            DGNNS(cfg(log_ot=True)), name="train_step_logot"),
+        # wider batch: amortizes per-step fixed cost, deepens kernel pipelines
+        "train_step_1024_b32": lambda: bench_train_step(
+            DGNNS(cfg()), batch=32, K=12, name="train_step_b32"),
+        # dots-saveable remat: skip recomputing MXU work in the backward pass
+        # (holds projection/Sinkhorn intermediates in HBM instead)
+        "train_step_1024_dots": lambda: bench_train_step(
+            DGNNS(cfg(train_remat="dots")), name="train_step_dots"),
     }
     for name in (selected or list(configs)):
         configs[name]()

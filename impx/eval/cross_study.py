@@ -184,9 +184,15 @@ def _norm_kpts(pts, h, w, scale=0.7):
 
 
 def run_reference(h5_path, image_dir, tm, use_iterative, max_pairs,
-                  num_kpt=512, error_th=1.0):
+                  num_kpt=512, error_th=1.0, use_uncertainty=False):
     """Drive the reference's own eval() with its module globals set up; parse
-    its printed results; capture per-pair matches via method wrappers."""
+    its printed results; capture per-pair matches via method wrappers.
+
+    With use_uncertainty the reference runs `matching_iterative_uncertainty`
+    (eval/matching.py:126-276), which physically SLICES the keypoint arrays
+    between iterations — its returned match indices live in the pooled index
+    space, so this mode captures matched COORDINATE pairs [x0,y0,x1,y1]
+    instead of index arrays (compare with coord_set_agreement)."""
     import torch
 
     import eval.eval_imp as refmod
@@ -208,6 +214,7 @@ def run_reference(h5_path, image_dir, tm, use_iterative, max_pairs,
 
     old_pm = type(tm).produce_matches
     old_mi = refmod.matching_iterative
+    old_miu = refmod.matching_iterative_uncertainty
 
     def wrapped_pm(self, data, **kw):
         out = old_pm(self, data, **kw)
@@ -229,15 +236,34 @@ def run_reference(h5_path, image_dir, tm, use_iterative, max_pairs,
         captured.append(np.asarray(out[0]).copy())
         return out
 
+    def wrapped_miu(data=None, **kw):
+        # same norm-keypoint injection as wrapped_mi (see module docstring)
+        h, w = data["image0"].shape[1:3]
+        nk0 = torch.from_numpy(
+            _norm_kpts(data["pts0_cpu"], h, w)).float()[None]
+        nk1 = torch.from_numpy(
+            _norm_kpts(data["pts1_cpu"], h, w)).float()[None]
+        data = dict(data, norm_keypoint0=nk0, norm_keypoint1=nk1,
+                    norm_keypoints0=nk0, norm_keypoints1=nk1)
+        out = old_miu(data=data, **kw)
+        pts0_r, pts1_r = np.asarray(out[0]), np.asarray(out[1])
+        matches = np.asarray(out[4])
+        valid = matches > -1
+        coords = np.hstack([pts0_r[valid][:, :2],
+                            pts1_r[matches[valid]][:, :2]])
+        captured.append(coords)
+        return out
+
     refmod.reader = limited
     refmod.reader_loader = limited
     refmod.nI = 15
     refmod.eval_config = {"rescale": 1600, "inlier_th": 0.005}
     refmod.use_iterative = use_iterative
-    refmod.use_uncertainty = False
+    refmod.use_uncertainty = use_uncertainty
     refmod.error_th = error_th
     refmod.net = tm
     refmod.matching_iterative = wrapped_mi
+    refmod.matching_iterative_uncertainty = wrapped_miu
     type(tm).produce_matches = wrapped_pm
 
     buf = io.StringIO()
@@ -248,6 +274,7 @@ def run_reference(h5_path, image_dir, tm, use_iterative, max_pairs,
     finally:
         type(tm).produce_matches = old_pm
         refmod.matching_iterative = old_mi
+        refmod.matching_iterative_uncertainty = old_miu
 
     text = buf.getvalue()
     rows = re.findall(
@@ -260,13 +287,13 @@ def run_reference(h5_path, image_dir, tm, use_iterative, max_pairs,
 
 
 def run_impx(h5_path, model, params, use_iterative, pose_backend, max_pairs,
-             num_kpt=512):
+             num_kpt=512, use_uncertainty=False):
     from impx.eval import eval_imp as ie
 
     reader = ie.StandardReader({"rawdata_dir": None, "dataset_dir": h5_path,
                                 "num_kpt": num_kpt})
     args = argparse.Namespace(
-        use_iterative=use_iterative, use_uncertainty=False,
+        use_iterative=use_iterative, use_uncertainty=use_uncertainty,
         pose_backend=pose_backend, eval_batch=1 if use_iterative else 4,
         bucket=num_kpt, max_pairs=max_pairs, data_parallel=False)
 
@@ -274,7 +301,16 @@ def run_impx(h5_path, model, params, use_iterative, pose_backend, max_pairs,
     old_sp = ie._score_pair
 
     def wrapped_sp(info, x0, x1, matches, *a, **kw):
-        captured.append(np.asarray(matches).copy())
+        if use_uncertainty:
+            # impx keeps global indices under pooling (keep-masks, no
+            # slicing) — capture matched coordinate pairs to compare with
+            # the reference's pooled-index-space output
+            m = np.asarray(matches)
+            valid = m > -1
+            captured.append(np.hstack([np.asarray(x0)[valid][:, :2],
+                                       np.asarray(x1)[m[valid]][:, :2]]))
+        else:
+            captured.append(np.asarray(matches).copy())
         return old_sp(info, x0, x1, matches, *a, **kw)
 
     ie._score_pair = wrapped_sp
@@ -297,6 +333,20 @@ def match_set_agreement(ref_matches, impx_matches):
         fracs.append(same)
         exact += bool((a[:n] == b[:n]).all())
     return float(np.mean(fracs)), exact, len(fracs)
+
+
+def coord_set_agreement(ref_coords, impx_coords):
+    """Per-pair Jaccard overlap of matched-coordinate sets [x0,y0,x1,y1]
+    (used for uncertainty mode, where the two frameworks report matches in
+    different index spaces)."""
+    ious, exact = [], 0
+    for a, b in zip(ref_coords, impx_coords):
+        sa = {tuple(v) for v in np.round(a, 2)}
+        sb = {tuple(v) for v in np.round(b, 2)}
+        union = len(sa | sb)
+        ious.append(len(sa & sb) / union if union else 1.0)
+        exact += sa == sb
+    return float(np.mean(ious)), exact, len(ious)
 
 
 def main():
@@ -336,16 +386,25 @@ def main():
     for method in args.methods:
         tm, model, params = _build_models(method, args.seed, weight_dir,
                                   train_steps=args.train_steps)
-        for iterative in ((True,) if args.iterative_only else (False, True)):
+        # (iterative, uncertainty) modes; uncertainty pooling only exists on
+        # AdaGMN (DGNNS.pool is a no-op, reference gms.py:316-317)
+        modes = [(True, False)] if args.iterative_only else [(False, False),
+                                                             (True, False)]
+        if method == "EIMP":
+            modes.append((True, True))
+        for iterative, uncertainty in modes:
             ref = run_reference(h5, image_dir, tm, iterative, args.pairs,
-                                args.num_kpt)
+                                args.num_kpt, use_uncertainty=uncertainty)
             for backend in (("cv2", "jax") if not iterative else ("jax",)):
                 imp = run_impx(h5, model, params, iterative, backend,
-                               args.pairs, args.num_kpt)
-                frac, exact, total = match_set_agreement(
-                    ref["matches"], imp["matches"])
+                               args.pairs, args.num_kpt,
+                               use_uncertainty=uncertainty)
+                agree = (coord_set_agreement if uncertainty
+                         else match_set_agreement)
+                frac, exact, total = agree(ref["matches"], imp["matches"])
                 rows.append({
                     "method": method, "iterative": iterative,
+                    "uncertainty": uncertainty,
                     "impx_pose": backend,
                     "ref_auc": [ref["auc"][k] for k in (5, 10, 20)],
                     "impx_auc": [round(imp["auc"][k], 2) for k in (5, 10, 20)],
@@ -360,7 +419,8 @@ def main():
     print(f"{'config':<28} {'ref AUC@5/10/20':>20} {'impx AUC@5/10/20':>20} "
           f"{'refP':>6} {'impxP':>6} {'match%':>7} {'exact':>7}")
     for r in rows:
-        name = f"{r['method']}{'_iter' if r['iterative'] else ''}/{r['impx_pose']}"
+        name = (f"{r['method']}{'_iter' if r['iterative'] else ''}"
+                f"{'_unc' if r.get('uncertainty') else ''}/{r['impx_pose']}")
         ra = "/".join(f"{v:.1f}" for v in r["ref_auc"])
         ia = "/".join(f"{v:.1f}" for v in r["impx_auc"])
         print(f"{name:<28} {ra:>20} {ia:>20} {r['ref_prec']:>6.1f} "

@@ -50,6 +50,13 @@ class MatcherConfig:
     # attention implementation: 'xla' (materializes probs; differentiable) or
     # 'pallas' (fused kernel, no HBM prob traffic; inference paths)
     attn_impl: str = "xla"
+    # rematerialization policy for the training layer scan
+    # (forward_train_scan): 'full' recomputes the whole body in the backward
+    # pass (minimum HBM; ~1.3x forward recompute), 'dots' saves batched-dot
+    # outputs (jax.checkpoint_policies.dots_saveable — skips re-running the
+    # MXU work at the cost of holding projection/Sinkhorn intermediates),
+    # 'none' stores everything (only viable at small batch/N)
+    train_remat: str = "full"
 
     @property
     def gnn_layers(self) -> list[str]:

@@ -343,8 +343,16 @@ def forward_train_scan(model, stacked: dict, data: dict[str, Any]):
         zero_terms["geo"] = jnp.zeros(())
     # rematerialize the body in the backward pass: storing 15 iterations of
     # Sinkhorn plans + MLP intermediates (>4 GB at batch 16 / N 1024) blows
-    # HBM; recompute costs ~1.3x forward time instead
-    body_ckpt = jax.checkpoint(body, prevent_cse=False)
+    # HBM; recompute costs ~1.3x forward time instead. cfg.train_remat picks
+    # the policy ('full' | 'dots' | 'none' — see MatcherConfig).
+    if cfg.train_remat == "none":
+        body_ckpt = body
+    elif cfg.train_remat == "dots":
+        body_ckpt = jax.checkpoint(
+            body, prevent_cse=False,
+            policy=jax.checkpoint_policies.dots_saveable)
+    else:
+        body_ckpt = jax.checkpoint(body, prevent_cse=False)
     (desc, _, _, terms, last_score), _ = jax.lax.scan(
         body_ckpt, (desc, zero_qk, zero_qk, zero_terms, zero_score), per_it)
 

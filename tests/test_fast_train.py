@@ -41,6 +41,27 @@ def test_forward_train_scan_matches_unrolled():
         np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=5e-3, atol=1e-5)
 
 
+def test_train_remat_policies_identical():
+    """train_remat changes what the backward pass stores, never the values:
+    loss and grads must be identical across 'full' / 'dots' / 'none'."""
+    base = MatcherConfig(descriptor_dim=32, keypoint_encoder=(16, 32), n_layers=3,
+                         sinkhorn_iterations=10, norm_fn="in", attn_impl="pallas")
+    batch = _batch()
+    params = DGNNS(base).init(jax.random.PRNGKey(0))
+    ref_loss, ref_grads = None, None
+    for policy in ("full", "dots", "none"):
+        m = DGNNS(dataclasses.replace(base, train_remat=policy))
+        loss, grads = jax.value_and_grad(
+            lambda p: m.forward_train(p, batch, train=True)["loss"])(params)
+        if ref_loss is None:
+            ref_loss, ref_grads = loss, grads
+            continue
+        np.testing.assert_allclose(float(loss), float(ref_loss), rtol=1e-6)
+        for a, b in zip(jax.tree.leaves(ref_grads), jax.tree.leaves(grads)):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       rtol=1e-5, atol=1e-7)
+
+
 def test_forward_train_scan_learns():
     from impx.train.step import (TrainHyperParams, make_train_step,
                                  make_optimizer, init_stats)
