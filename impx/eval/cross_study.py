@@ -22,7 +22,15 @@ Reference quirks handled here (not bugs in impx):
     caller-provided normalized keypoints (and checks the TYPO'd key
     'norm_keypoint0', eval/matching.py:20), so this study injects the
     correctly-normalized keypoints under both spellings for BOTH frameworks —
-    comparing matchers, not the reference's shape-unpacking slip.
+    comparing matchers, not the reference's shape-unpacking slip;
+  * in UNCERTAINTY mode the reference's driver rebinds norm_pts0/1 to the
+    SIZE-normalized keypoints returned by matching_iterative_uncertainty
+    (eval/eval_imp.py:96/126-130) and feeds them to compute_epi_inlier
+    against E, which expects INTRINSIC-normalized coordinates — its reported
+    precision/matching_score in that mode are computed under the wrong
+    normalization (~2% instead of ~20%). Its pose AUC is unaffected (poses
+    come from the pixel keypoints). Expect the refP column to collapse on
+    _unc rows; that is the reference's own behavior, faithfully driven.
 
 Usage: python -m impx.eval.cross_study [--pairs 8] [--num-kpt 512]
 """
@@ -325,14 +333,19 @@ def run_impx(h5_path, model, params, use_iterative, pose_backend, max_pairs,
 
 def match_set_agreement(ref_matches, impx_matches):
     """Per-pair fraction of identical match decisions (index arrays compared
-    elementwise over the first num_kpt slots)."""
-    fracs, exact = [], 0
+    elementwise over the first num_kpt slots). Also returns the positive-
+    match Jaccard (set overlap of (i, m[i]) pairs with m[i] > -1) — the
+    stricter statistic comparable with uncertainty mode's coord Jaccard."""
+    fracs, jacc, exact = [], [], 0
     for a, b in zip(ref_matches, impx_matches):
         n = min(len(a), len(b))
-        same = np.mean(a[:n] == b[:n])
-        fracs.append(same)
+        fracs.append(np.mean(a[:n] == b[:n]))
+        sa = {(i, int(v)) for i, v in enumerate(a[:n]) if v > -1}
+        sb = {(i, int(v)) for i, v in enumerate(b[:n]) if v > -1}
+        union = len(sa | sb)
+        jacc.append(len(sa & sb) / union if union else 1.0)
         exact += bool((a[:n] == b[:n]).all())
-    return float(np.mean(fracs)), exact, len(fracs)
+    return float(np.mean(fracs)), exact, len(fracs), float(np.mean(jacc))
 
 
 def coord_set_agreement(ref_coords, impx_coords):
@@ -346,7 +359,7 @@ def coord_set_agreement(ref_coords, impx_coords):
         union = len(sa | sb)
         ious.append(len(sa & sb) / union if union else 1.0)
         exact += sa == sb
-    return float(np.mean(ious)), exact, len(ious)
+    return float(np.mean(ious)), exact, len(ious), float(np.mean(ious))
 
 
 def main():
@@ -401,7 +414,7 @@ def main():
                                use_uncertainty=uncertainty)
                 agree = (coord_set_agreement if uncertainty
                          else match_set_agreement)
-                frac, exact, total = agree(ref["matches"], imp["matches"])
+                frac, exact, total, jacc = agree(ref["matches"], imp["matches"])
                 rows.append({
                     "method": method, "iterative": iterative,
                     "uncertainty": uncertainty,
@@ -411,13 +424,14 @@ def main():
                     "ref_prec": ref["precision"],
                     "impx_prec": round(imp["precision"], 2),
                     "match_agree": round(100 * frac, 2),
+                    "pos_jaccard": round(100 * jacc, 2),
                     "exact_pairs": f"{exact}/{total}",
                 })
                 print(rows[-1], flush=True)
 
     print("\n=== cross-framework study (reference torch CPU vs impx) ===")
     print(f"{'config':<28} {'ref AUC@5/10/20':>20} {'impx AUC@5/10/20':>20} "
-          f"{'refP':>6} {'impxP':>6} {'match%':>7} {'exact':>7}")
+          f"{'refP':>6} {'impxP':>6} {'match%':>7} {'jacc%':>7} {'exact':>7}")
     for r in rows:
         name = (f"{r['method']}{'_iter' if r['iterative'] else ''}"
                 f"{'_unc' if r.get('uncertainty') else ''}/{r['impx_pose']}")
@@ -425,7 +439,7 @@ def main():
         ia = "/".join(f"{v:.1f}" for v in r["impx_auc"])
         print(f"{name:<28} {ra:>20} {ia:>20} {r['ref_prec']:>6.1f} "
               f"{r['impx_prec']:>6.1f} {r['match_agree']:>7.2f} "
-              f"{r['exact_pairs']:>7}")
+              f"{r['pos_jaccard']:>7.2f} {r['exact_pairs']:>7}")
     return rows
 
 
