@@ -61,6 +61,18 @@ parser.add_argument("--with_geo", action="store_true",
                          "(reference eval/eval_imp.py:275/316 weight tables)")
 parser.add_argument("--geo_weight", type=float, default=50.0)
 parser.add_argument("--geo_clamp", type=float, default=0.05)
+parser.add_argument("--attn_impl", type=str, default="xla",
+                    choices=["xla", "pallas"],
+                    help="'pallas' routes training through the fused-kernel "
+                         "scan fast path (requires norm_fn=in)")
+parser.add_argument("--log_ot", action="store_true",
+                    help="log-domain optimal-transport score head "
+                         "(superglue.py:180-209 semantics; the preferred "
+                         "head for bf16 training)")
+parser.add_argument("--train_remat", type=str, default="full",
+                    choices=["full", "dots", "none"],
+                    help="remat policy for the training layer scan "
+                         "(see MatcherConfig.train_remat)")
 parser.add_argument("--multihost", action="store_true",
                     help="initialize jax.distributed (multi-host mesh over DCN; "
                          "the data mesh then spans all hosts' chips)")
@@ -88,6 +100,9 @@ def build_model(args):
         with_geo=args.with_geo,
         geo_weight=args.geo_weight,
         geo_clamp=args.geo_clamp,
+        attn_impl=args.attn_impl,
+        log_ot=args.log_ot,
+        train_remat=args.train_remat,
     )
     return {"gm": GM, "dgnns": DGNNS, "adagmn": AdaGMN}[args.network](cfg)
 
