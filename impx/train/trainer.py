@@ -126,6 +126,19 @@ class Trainer:
         self.epoch = 0
         self.best_value = -np.inf
 
+        # preemption-safe checkpointing: on SIGTERM (cloud preemption notice)
+        # set a flag; the epoch loop checkpoints to {tag}.preempt at the next
+        # log boundary and exits cleanly. Flag-based so the signal handler
+        # never touches jax state. Installed only in the main thread (signal
+        # module requirement); Trainer built in a worker thread skips it.
+        self._preempted = False
+        import signal
+        import threading
+
+        if threading.current_thread() is threading.main_thread():
+            self._prev_sigterm = signal.signal(
+                signal.SIGTERM, lambda *_: setattr(self, "_preempted", True))
+
     # ------------------------------------------------------------- checkpoints
     def save_checkpoint(self, params, opt_state, name: str | None = None):
         import orbax.checkpoint as ocp
@@ -229,6 +242,8 @@ class Trainer:
         for bidx, batch in enumerate(self._batches()):
             if 0 <= its_per_epoch <= bidx:
                 break
+            if self._preempted:  # SIGTERM: stop dispatching, save + exit
+                break
             params, opt_state, metrics, stats = self.step_fn(
                 params, opt_state, jnp.asarray(self.iteration), batch, stats)
             self.iteration += 1
@@ -289,6 +304,13 @@ class Trainer:
         while self.epoch < self.args.epochs:
             t0 = time.time()
             params, opt_state, train_loss = self.process_epoch(params, opt_state)
+            if self._preempted:
+                # preemption: persist params+opt_state+step mid-epoch and
+                # exit cleanly; restore_checkpoint resumes from here
+                path = self.save_checkpoint(params, opt_state,
+                                            name=f"{self.tag}.preempt")
+                self.writer.text(f"SIGTERM: preemption checkpoint -> {path}")
+                return params, opt_state
             if train_loss is None:  # INF/NAN abort -> retry epoch (trainer.py:256-259)
                 continue
 

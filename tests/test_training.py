@@ -211,3 +211,42 @@ def test_nan_abort_spans_log_intervals(tmp_path):
     assert epoch_loss is None  # aborted, not ground through all 20 steps
     log = open(f"{trainer.save_dir}/log.txt").read()
     assert "Abort epoch" in log  # the abort fired, not an empty epoch
+
+
+def test_preemption_checkpoint(tmp_path):
+    """SIGTERM-flagged preemption: train() stops dispatching, writes a
+    {tag}.preempt orbax checkpoint mid-epoch and returns cleanly; the
+    handler is installed for real SIGTERM delivery."""
+    import argparse
+    import glob
+    import os
+    import signal
+
+    from impx.train.trainer import Trainer
+
+    model = _tiny_model()
+    ds = SyntheticMegadepth(num_pairs=64, nfeatures=32, desc_dim=32)
+    args = argparse.Namespace(
+        lr=1e-4, network="gm", feature="spp", batch_size=4, epochs=3,
+        save_path=str(tmp_path), max_keypoints=32, its_per_epoch=1000,
+        log_intervals=2)
+    trainer = Trainer(model, ds, args)
+    try:
+        handler = signal.getsignal(signal.SIGTERM)
+        assert callable(handler)  # installed by Trainer (main thread)
+        handler(signal.SIGTERM, None)  # deliver the preemption notice
+        assert trainer._preempted
+
+        params = model.init(jax.random.PRNGKey(5))
+        params, opt_state = trainer.train(params)  # returns without 3 epochs
+        preempt = glob.glob(os.path.join(trainer.save_dir, "*.preempt"))
+        assert len(preempt) == 1
+
+        # resume from the preemption checkpoint
+        trainer2 = Trainer(model, ds, args)
+        p2 = jax.tree.map(jnp.zeros_like, model.init(jax.random.PRNGKey(5)))
+        p2, _ = trainer2.restore_checkpoint(preempt[0], p2, trainer2.tx.init(p2))
+        for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(p2)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    finally:
+        signal.signal(signal.SIGTERM, trainer._prev_sigterm)
