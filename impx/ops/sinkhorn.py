@@ -224,14 +224,104 @@ def log_optimal_transport(
     log_mu = jnp.concatenate([norm * f0 + _NEG * (1 - f0), jnp.log(n1) + norm], axis=1)
     log_nu = jnp.concatenate([norm * f1 + _NEG * (1 - f1), jnp.log(n0) + norm], axis=1)
 
+    return _log_uv(Z, log_mu, log_nu, iterations) - norm[:, :, None]
+
+
+@_functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _log_uv(Z, log_mu, log_nu, iterations):
+    """Log-domain u/v iteration + output Z + u + v, with the same
+    restructured reverse pass as _sinkhorn_uv.
+
+    Key identity: the row-softmax weights of sweep t factor through the
+    FIXED matrix E = exp(Z - rowmax):
+        w_t[n,m] = exp(Z[n,m] + v_{t-1}[m] - lse_t[n])
+                 = E[n,m] * exp(s[n] + u_t[n] - log_mu[n]) * exp(v_{t-1}[m])
+    (and analogously for the column sweeps), so every sweep's plan-gradient
+    contribution is rank-1 in the E-basis: the reverse recurrence runs on
+    vectors with two E-matvecs per sweep, and Z_bar materializes once as
+    g + E * (stacked [N+1,2T]x[2T,M+1] matmul) instead of one full-plan
+    softmax-VJP accumulation per sweep (what plain AD — and the reference's
+    autograd through superglue.py:180-186 — does)."""
+    u, v = _log_uv_iterate(Z, log_mu, log_nu, iterations)
+    return Z + u[:, :, None] + v[:, None, :]
+
+
+def _log_uv_iterate(Z, log_mu, log_nu, iterations):
     def body(_, uv):
         u, v = uv
         u = log_mu - jax.nn.logsumexp(Z + v[:, None, :], axis=2)
         v = log_nu - jax.nn.logsumexp(Z + u[:, :, None], axis=1)
         return u, v
 
-    u0 = jnp.zeros_like(log_mu)
-    v0 = jnp.zeros_like(log_nu)
-    u, v = jax.lax.fori_loop(0, iterations, body, (u0, v0))
-    Z = Z + u[:, :, None] + v[:, None, :]
-    return Z - norm[:, :, None]
+    return jax.lax.fori_loop(
+        0, iterations, body, (jnp.zeros_like(log_mu), jnp.zeros_like(log_nu)))
+
+
+def _log_uv_fwd(Z, log_mu, log_nu, iterations):
+    def body(uv, _):
+        u, v = uv
+        u = log_mu - jax.nn.logsumexp(Z + v[:, None, :], axis=2)
+        v = log_nu - jax.nn.logsumexp(Z + u[:, :, None], axis=1)
+        return (u, v), (u, v)
+
+    (u, v), hist = jax.lax.scan(
+        body, (jnp.zeros_like(log_mu), jnp.zeros_like(log_nu)),
+        None, length=iterations)
+    return Z + u[:, :, None] + v[:, None, :], (Z, log_mu, log_nu, hist)
+
+
+def _log_uv_bwd(iterations, res, g):
+    Z, log_mu, log_nu, hist = res
+    us, vs = hist  # [T, B, N+1] / [T, B, M+1]
+    u_T, v_T = us[-1], vs[-1]
+    row_ok = log_mu > _NEG / 2   # [B, N+1]
+    col_ok = log_nu > _NEG / 2   # [B, M+1]
+    ok = row_ok[:, :, None] & col_ok[:, None, :]
+
+    s = jnp.max(jnp.where(ok, Z, _NEG), axis=2)             # [B, N+1] row shift
+    E = jnp.where(ok, jnp.exp(Z - s[:, :, None]), 0.0)      # in [0, 1]
+
+    # output O = Z + u_T + v_T
+    u_bar0 = jnp.sum(g, axis=2)
+    v_bar0 = jnp.sum(g, axis=1)
+    v_prevs = jnp.concatenate([jnp.zeros_like(vs[:1]), vs[:-1]], axis=0)
+
+    # sanitized per-sweep scale vectors (pad rows/cols never contribute:
+    # their weights are exactly zero in plain AD too)
+    zr = jnp.zeros_like(log_mu)
+    zc = jnp.zeros_like(log_nu)
+
+    def rbody(carry, xs):
+        u_bar, v_bar = carry          # grads wrt u_t, v_t entering step t
+        u_t, v_t, v_prev = xs
+        # v_t = log_nu - LSE_n(Z + u_t); w'[n,m] = E a_t[n] d_t[m]
+        a_t = jnp.where(row_ok, jnp.exp(s + u_t), zr)
+        d_t = jnp.where(col_ok, jnp.exp(v_t - log_nu), zc)
+        vd = v_bar * d_t
+        u_tot = u_bar - a_t * jnp.einsum(
+            "bnm,bm->bn", E, vd, preferred_element_type=jnp.float32)
+        # u_t = log_mu - LSE_m(Z + v_{t-1}); w[n,m] = E alpha_t[n] e^{v_prev[m]}
+        alpha_t = jnp.where(row_ok, jnp.exp(s + u_t - log_mu), zr)
+        ua = u_tot * alpha_t
+        ev_prev = jnp.where(col_ok, jnp.exp(v_prev), zc)
+        v_prev_bar = -ev_prev * jnp.einsum(
+            "bnm,bn->bm", E, ua, preferred_element_type=jnp.float32)
+        # rank-1 Z-gradient factors: (-a_t) x vd  and  (-ua) x ev_prev
+        return (jnp.zeros_like(u_bar), v_prev_bar), \
+            (a_t, vd, ua, ev_prev, u_tot, v_bar)
+
+    _, outs = jax.lax.scan(rbody, (u_bar0, v_bar0), (us, vs, v_prevs),
+                           reverse=True)
+    a_ts, vds, uas, ev_prevs, u_tots, v_bars = outs
+
+    A = jnp.concatenate([-a_ts, -uas], axis=0)         # [2T, B, N+1]
+    Bm = jnp.concatenate([vds, ev_prevs], axis=0)      # [2T, B, M+1]
+    Z_bar = g + E * jnp.einsum("tbn,tbm->bnm", A, Bm,
+                               preferred_element_type=jnp.float32)
+    # log_mu/log_nu appear only inside the sweeps (u_t = log_mu - lse, v_t =
+    # log_nu - lse'): their grads are the summed per-sweep totals — the
+    # output's u_T/v_T terms entered the t=T carry and are already counted
+    return Z_bar, jnp.sum(u_tots, axis=0), jnp.sum(v_bars, axis=0)
+
+
+_log_uv.defvjp(_log_uv_fwd, _log_uv_bwd)

@@ -94,3 +94,70 @@ def test_jit_and_scan_compatible():
 
     g = jax.grad(f)(dist)
     assert np.isfinite(np.asarray(g)).all()
+
+
+def _log_ot_ad(dist, dustbin, iterations, valid0=None, valid1=None):
+    """AD-only restatement of log_optimal_transport (pre-custom-VJP)."""
+    from impx.ops.sinkhorn import log_optimal_transport  # noqa: F401  (parity target)
+    b, n, m = dist.shape
+    f0, f1, v0p, v1p = _padded_masks(b, n, m, valid0, valid1, dist.dtype)
+    n0 = jnp.sum(f0, axis=1, keepdims=True)
+    n1 = jnp.sum(f1, axis=1, keepdims=True)
+    Z = _pad_with_dustbin(dist, dustbin)
+    Z = jnp.where(v0p[:, :, None] & v1p[:, None, :], Z, _NEG)
+    norm = -jnp.log(n0 + n1)
+    log_mu = jnp.concatenate([norm * f0 + _NEG * (1 - f0), jnp.log(n1) + norm], axis=1)
+    log_nu = jnp.concatenate([norm * f1 + _NEG * (1 - f1), jnp.log(n0) + norm], axis=1)
+    u, v = jnp.zeros_like(log_mu), jnp.zeros_like(log_nu)
+    for _ in range(iterations):  # unrolled: plain AD
+        u = log_mu - jax.nn.logsumexp(Z + v[:, None, :], axis=2)
+        v = log_nu - jax.nn.logsumexp(Z + u[:, :, None], axis=1)
+    return Z + u[:, :, None] + v[:, None, :] - norm[:, :, None]
+
+
+def _log_loss(fn, dist, dustbin, valid0, valid1):
+    """Weighted sum over VALID cells only (the custom VJP treats pad-row/col
+    gradients as zero, as every downstream loss masks them)."""
+    from impx.ops.sinkhorn import _padded_masks as pm
+    b, n, m = dist.shape
+    _, _, v0p, v1p = pm(b, n, m, valid0, valid1, dist.dtype)
+    ok = (v0p[:, :, None] & v1p[:, None, :]).astype(dist.dtype)
+    w = jnp.cos(jnp.arange(n + 1))[None, :, None] * \
+        jnp.sin(jnp.arange(m + 1))[None, None, :]
+    return jnp.sum(fn(dist, dustbin, 10, valid0, valid1) * w * ok)
+
+
+def test_log_ot_values_and_grads_match_ad():
+    from impx.ops.sinkhorn import log_optimal_transport
+
+    for masked in (False, True):
+        dist, dustbin, v0, v1 = _case(7, masked=masked)
+        out = log_optimal_transport(dist, dustbin, 10, v0, v1)
+        ref = _log_ot_ad(dist, dustbin, 10, v0, v1)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-6)
+
+        g = jax.grad(lambda d, db: _log_loss(log_optimal_transport,
+                                             d, db, v0, v1),
+                     argnums=(0, 1))(dist, dustbin)
+        gr = jax.grad(lambda d, db: _log_loss(_log_ot_ad, d, db, v0, v1),
+                      argnums=(0, 1))(dist, dustbin)
+        for a, b_ in zip(g, gr):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                       rtol=1e-4, atol=1e-6)
+
+
+def test_log_ot_fused_grad_uses_custom_path():
+    """The fused kernel's backward routes through log_optimal_transport —
+    grads must agree with plain AD there too (interpreter mode on CPU)."""
+    from impx.ops.pallas.log_sinkhorn import log_optimal_transport_fused
+
+    dist, dustbin, v0, v1 = _case(9, b=1, n=8, m=8)
+    g = jax.grad(lambda d: jnp.sum(
+        log_optimal_transport_fused(d, dustbin, 10, v0, v1, 8, True)
+        * jnp.cos(jnp.arange(9.0))[None, :, None]))(dist)
+    gr = jax.grad(lambda d: jnp.sum(
+        _log_ot_ad(d, dustbin, 10, v0, v1)
+        * jnp.cos(jnp.arange(9.0))[None, :, None]))(dist)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(gr),
+                               rtol=1e-4, atol=1e-6)
