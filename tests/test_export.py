@@ -62,3 +62,17 @@ def test_export_runtime_params():
                                  with_scores=False)
     np.testing.assert_array_equal(np.asarray(out2["indices0"]),
                                   np.asarray(ref2["indices0"][-1]))
+
+
+def test_export_multiplatform():
+    """Cross-platform artifact: lowering for ("cpu", "tpu") works without
+    TPU hardware present; the artifact still runs on CPU."""
+    model, params = _model()
+    feed = _feed()
+    blob = export_matcher(model, params, n_kpts=48, batch=2,
+                          platforms=("cpu", "tpu"))
+    out = load_matcher(blob)(feed)
+    ref = model.produce_matches(params, feed, p=0.2, only_last=True,
+                                with_scores=False)
+    np.testing.assert_array_equal(np.asarray(out["indices0"]),
+                                  np.asarray(ref["indices0"][-1]))
