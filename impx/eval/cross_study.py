@@ -109,7 +109,7 @@ def _train_params(cfg, steps: int, train_kpts: int = 256, batch: int = 4):
 
 
 def _build_models(matching_method: str, seed: int, weight_dir: str,
-                  train_steps: int = 0):
+                  train_steps: int = 0, feature: str = "spp"):
     """Reference torch model (eval config, seeded init) + impx twin through
     the .pth converter. Uses a real published checkpoint instead when one is
     present in weights/ (none ship in this container); with train_steps > 0,
@@ -126,8 +126,9 @@ def _build_models(matching_method: str, seed: int, weight_dir: str,
     from impx.tools.convert_torch import (load_matcher_checkpoint,
                                           matcher_state_dict)
 
+    dim = 256 if feature == "spp" else 128
     tcfg = {
-        "descriptor_dim": 256,
+        "descriptor_dim": dim,
         "GNN_layers": ["self", "cross"] * 15,
         "n_layers": 15,
         "sinkhorn_iterations": 20,
@@ -140,16 +141,19 @@ def _build_models(matching_method: str, seed: int, weight_dir: str,
     torch.manual_seed(seed)
     tm = (TorchDGNNS if matching_method == "IMP" else TorchAdaGMN)(config=tcfg).eval()
 
-    cfg = MatcherConfig.eval_config("spp", n_layers=15)
+    cfg = MatcherConfig.eval_config(feature, n_layers=15)
 
-    published = os.path.join("weights", "imp_spp.pth" if matching_method == "IMP"
-                             else "eimp_spp.pth")
+    published = os.path.join(
+        "weights", f"{'imp' if matching_method == 'IMP' else 'eimp'}_{feature}.pth")
     if os.path.isfile(published):
         tm.load_state_dict(torch.load(published, map_location="cpu")["model"])
         pth = published
         print(f"[cross_study] using published checkpoint {published}")
     elif train_steps > 0:
-        pth = os.path.join(weight_dir, "cross_trained.pth")  # method-independent: AdaGMN shares the DGNNS param structure
+        # method-independent (AdaGMN shares the DGNNS param structure) but
+        # feature-dependent (descriptor dim differs)
+        suffix = "" if feature == "spp" else f"_{feature}"
+        pth = os.path.join(weight_dir, f"cross_trained{suffix}.pth")
         if not os.path.isfile(pth):
             trained = _train_params(cfg, train_steps)
             torch.save({"model": matcher_state_dict(trained, cfg, sharing=True)},
@@ -367,6 +371,9 @@ def main():
     ap.add_argument("--pairs", type=int, default=8)
     ap.add_argument("--num-kpt", type=int, default=512)
     ap.add_argument("--methods", nargs="+", default=["IMP", "EIMP"])
+    ap.add_argument("--feature", choices=["spp", "sift"], default="spp",
+                    help="eval configuration family: spp (dim 256) or sift "
+                         "(dim 128, reference eval/eval_imp.py:262)")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--train-steps", type=int, default=0,
                     help="briefly train impx weights first (reverse-converted "
@@ -390,7 +397,8 @@ def main():
                          seed=args.seed, image_dir=image_dir,
                          n_inliers=args.num_kpt // 2,
                          n_outliers0=args.num_kpt // 2,
-                         n_outliers1=args.num_kpt // 2)
+                         n_outliers1=args.num_kpt // 2,
+                         desc_dim=256 if args.feature == "spp" else 128)
 
     rows = []
     weight_dir = args.weight_dir or tmp
@@ -398,7 +406,8 @@ def main():
         os.makedirs(args.weight_dir, exist_ok=True)
     for method in args.methods:
         tm, model, params = _build_models(method, args.seed, weight_dir,
-                                  train_steps=args.train_steps)
+                                          train_steps=args.train_steps,
+                                          feature=args.feature)
         # (iterative, uncertainty) modes; uncertainty pooling only exists on
         # AdaGMN (DGNNS.pool is a no-op, reference gms.py:316-317)
         modes = [(True, False)] if args.iterative_only else [(False, False),
