@@ -270,7 +270,15 @@ class AdaGMN(DGNNS):
 
     def forward_train(self, params, data, train: bool = True, axis_name=None):
         """Reference adgm.py:49-325: per-iteration loss with the ground-truth
-        mask restricted to surviving keypoints after pooling."""
+        mask restricted to surviving keypoints after pooling. Routes through
+        the scan fast path (fused kernels, one compiled body, remat per
+        cfg.train_remat) under the same conditions as produce_matches."""
+        if (self.config.attn_impl == "pallas" and self.config.norm_fn == "in"
+                and not self.config.log_ot):
+            from impx.models.fast import forward_train_scan_eimp, stack_params
+
+            stacked = stack_params(params, self.config)
+            return forward_train_scan_eimp(self, stacked, data)
         gt = data["matching_mask"]
         all_scores, all_idx0, all_ms0, total, _ = self._iterate(
             params, data, p=0.2, mscore_th=0.1, uncertainty_ratio=1.0,

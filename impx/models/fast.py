@@ -712,3 +712,145 @@ def forward_scan_eimp_compact(
             "mscores0": [o[1] for o in picked],
             "keep0": keep0_orig, "keep1": keep1_orig,
             "overflow0": overflow0, "overflow1": overflow1}
+
+
+def forward_train_scan_eimp(model, stacked: dict, data: dict[str, Any]):
+    """AdaGMN training forward on the scan fast path (reference
+    adgm.py:49-325 semantics, numerically equivalent to the unrolled
+    `_iterate` training path): per-iteration Sinkhorn + GraphLoss with the
+    GT mask restricted to surviving keypoints after pooling, pooling masses
+    from the attention column-mass kernel under stop_gradient, accuracy
+    averaged over ALL iterations. One scan body instead of a 15x unrolled
+    graph — compiles once per layer shape and remats per cfg.train_remat."""
+    from impx.models.adgm import _masked_gt
+    from impx.models.loss import (geo_loss, graph_loss, matching_accuracy,
+                                  maybe_epipolar_matrix)
+    from impx.ops.pallas.attention import attention_key_mass
+
+    cfg = model.config
+    assert cfg.norm_fn == "in"
+    interpret = _interpret()
+    compute_dtype = model.compute_dtype
+
+    gt = data["matching_mask"]
+    epi = maybe_epipolar_matrix(data, cfg.geo_clamp) if cfg.with_geo else None
+    p, mscore_th, uncertainty_ratio = 0.2, 0.1, 1.0  # training defaults
+
+    desc, valid0, valid1, zero_qk, b, n = _eimp_encode(model, stacked, data)
+    full0, full1 = valid0, valid1
+    full = jnp.concatenate([full0, full1], axis=0)
+
+    def swap(x):
+        return jnp.concatenate([x[b:], x[:b]], axis=0)
+
+    per_it = {"self": stacked["self"], "cross": stacked["cross"],
+              "final_w": stacked["final_w"], "final_b": stacked["final_b"],
+              "do_pool": _eimp_do_pool(cfg),
+              "use_masked": jnp.asarray(
+                  [1.0 if ni >= cfg.first_it_to_update else 0.0
+                   for ni in range(cfg.n_layers)], jnp.float32)}
+
+    z = jnp.zeros(())
+    zero_terms = {"corr": z, "incorr": z, "neg": z}
+    if epi is not None:
+        zero_terms["geo"] = z
+    zero_acc = {"acc_corr": z, "acc_incorr": z,
+                "total_acc_corr": z, "total_acc_incorr": z}
+    m1 = valid1.shape[1]
+    zero_score = jnp.zeros((b, n + 1, m1 + 1), jnp.float32)
+    zero_idx = jnp.zeros((b, n), jnp.int32)
+    zero_ms = jnp.zeros((b, n), jnp.float32)
+
+    def body(carry, it):
+        desc, qk_self, qk_cross, keep0, keep1, terms, acc, _, _, _ = carry
+        keep = jnp.concatenate([keep0, keep1], axis=0)
+        keep_swap = jnp.concatenate([keep1, keep0], axis=0)
+
+        delta, qk_self = _attn_block(
+            it["self"], desc, desc, qk_self, keep, full,
+            cfg.num_heads, cfg.ac_fn, compute_dtype, interpret)
+        desc = desc + delta
+        delta, qk_cross = _attn_block(
+            it["cross"], desc, swap(desc), qk_cross, keep_swap, full,
+            cfg.num_heads, cfg.ac_fn, compute_dtype, interpret)
+        desc = desc + delta
+
+        pl = {"final_proj": [{"w": it["final_w"], "b": it["final_b"]}],
+              "bin_score": stacked["bin_score"]}
+        d0, d1 = desc[:b].astype(jnp.float32), desc[b:].astype(jnp.float32)
+        dist = model.compute_distance(pl, d0, d1, layer_id=-1)
+        score = model.compute_score(pl, dist, keep0, keep1)
+
+        # loss: plain gt before first_it_to_update, survivor-restricted
+        # after (reference adgm.py:219-230; keeps only change after the
+        # first pooling, so the where() is exact, not approximate)
+        gt_used = jnp.where(it["use_masked"] > 0.5,
+                            _masked_gt(gt, keep0, keep1), gt)
+        t = graph_loss(score, gt_used, scores_are_log=model.scores_are_log)
+        if epi is not None:
+            prob = jnp.exp(score) if model.scores_are_log else score
+            t["geo"] = geo_loss(prob, epi, keep0, keep1)
+        terms = jax.tree.map(jnp.add, terms, t)
+
+        idx0, _, ms0, _ = model.compute_matches(score, p=p, valid0=keep0,
+                                                valid1=keep1)
+        acc = jax.tree.map(jnp.add, acc, matching_accuracy(idx0, gt))
+
+        # pooling (stop_gradient, reference adgm.py:242-243) on updating
+        # iterations, from the fused column-mass kernel
+        def pool(operands):
+            qk_self, qk_cross, keep0, keep1, score = operands
+            keep = jnp.concatenate([keep0, keep1], axis=0)
+            keep_swap = jnp.concatenate([keep1, keep0], axis=0)
+            m_self = attention_key_mass(qk_self["q"], qk_self["k"],
+                                        keep, full, interpret=interpret)
+            m_cross = attention_key_mass(qk_cross["q"], qk_cross["k"],
+                                         keep_swap, full, interpret=interpret)
+            norm = lambda m: m / (jnp.sum(m, axis=1, keepdims=True) + 1e-15)
+            n00, n11 = norm(m_self[:b]), norm(m_self[b:])
+            n10, n01 = norm(m_cross[:b]), norm(m_cross[b:])
+            inner = score[:, :-1, :-1]
+            return model._pool_from_masses(
+                jnp.sum(inner, axis=2), jnp.sum(inner, axis=1),
+                n00, n01, n11, n10, keep0, keep1,
+                mscore_th * uncertainty_ratio, cfg.n_min_tokens)
+
+        keep0, keep1 = jax.lax.cond(
+            it["do_pool"] > 0.5, pool, lambda op: (op[2], op[3]),
+            (jax.lax.stop_gradient(qk_self), jax.lax.stop_gradient(qk_cross),
+             keep0, keep1, jax.lax.stop_gradient(score)))
+
+        return (desc, qk_self, qk_cross, keep0, keep1, terms, acc,
+                score, idx0, ms0), None
+
+    carry0 = (desc, zero_qk, zero_qk, valid0, valid1, zero_terms, zero_acc,
+              zero_score, zero_idx, zero_ms)
+    if cfg.train_remat == "none":
+        body_ckpt = body
+    elif cfg.train_remat == "dots":
+        body_ckpt = jax.checkpoint(
+            body, prevent_cse=False,
+            policy=jax.checkpoint_policies.dots_saveable)
+    else:
+        body_ckpt = jax.checkpoint(body, prevent_cse=False)
+    (desc, _, _, keep0, keep1, terms, acc, last_score, last_idx0,
+     last_ms0), _ = jax.lax.scan(body_ckpt, carry0, per_it)
+
+    n_it = cfg.n_layers
+    terms = jax.tree.map(lambda x: x / n_it, terms)
+    acc = jax.tree.map(lambda x: x / n_it, acc)
+    matching_loss = terms["corr"] + terms["incorr"] + terms["neg"]
+    loss = matching_loss
+    if epi is not None:
+        loss = loss + cfg.geo_weight * terms["geo"]
+    return {
+        "loss": loss,
+        "matching_loss": matching_loss,
+        "matching_loss_corr": terms["corr"],
+        "matching_loss_incorr": terms["incorr"],
+        "matching_loss_neg": terms["neg"],
+        "geo_loss": terms.get("geo", jnp.zeros(())),
+        "matching_scores0": last_ms0,
+        "matches0": last_idx0,
+        **acc,
+    }

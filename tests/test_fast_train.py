@@ -80,3 +80,35 @@ def test_forward_train_scan_learns():
         losses.append(float(m["loss"]))
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0] * 0.8, (losses[0], losses[-1])
+
+
+def test_eimp_forward_train_scan_matches_unrolled():
+    """AdaGMN training on the scan fast path == the unrolled masked XLA path
+    (loss, accuracy averaged over all iterations, grads) — incl. the
+    survivor-restricted GT and stop_gradient pooling."""
+    from impx.models import AdaGMN
+
+    cfg_xla = MatcherConfig(descriptor_dim=32, keypoint_encoder=(16, 32),
+                            n_layers=5, sinkhorn_iterations=10, norm_fn="in",
+                            attn_impl="xla", first_it_to_update=2,
+                            n_min_tokens=8)
+    cfg_pl = dataclasses.replace(cfg_xla, attn_impl="pallas")
+    m_xla, m_pl = AdaGMN(cfg_xla), AdaGMN(cfg_pl)
+    params = m_xla.init(jax.random.PRNGKey(0))
+    batch = _batch()
+
+    out_xla = m_xla.forward_train(params, batch, train=True)
+    out_pl = m_pl.forward_train(params, batch, train=True)
+    np.testing.assert_allclose(float(out_pl["loss"]), float(out_xla["loss"]),
+                               rtol=1e-4)
+    for k in ("acc_corr", "acc_incorr", "total_acc_corr"):
+        np.testing.assert_allclose(float(out_pl[k]), float(out_xla[k]),
+                                   rtol=1e-5, err_msg=k)
+    np.testing.assert_array_equal(np.asarray(out_pl["matches0"]),
+                                  np.asarray(out_xla["matches0"]))
+
+    g_xla = jax.grad(lambda p: m_xla.forward_train(p, batch, train=True)["loss"])(params)
+    g_pl = jax.grad(lambda p: m_pl.forward_train(p, batch, train=True)["loss"])(params)
+    for a, b in zip(jax.tree.leaves(g_xla), jax.tree.leaves(g_pl)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=5e-3, atol=1e-5)
