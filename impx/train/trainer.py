@@ -196,8 +196,10 @@ class Trainer:
             try:
                 for batch in self._batches_sync():
                     q.put(batch)
-            finally:
                 q.put(sentinel)
+            except BaseException as e:  # re-raised on the consumer side —
+                q.put(e)                # a dead producer must not look like
+                                        # a clean end-of-epoch
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
@@ -205,6 +207,8 @@ class Trainer:
             item = q.get()
             if item is sentinel:
                 break
+            if isinstance(item, BaseException):
+                raise item
             yield item
 
     def process_epoch(self, params, opt_state):
@@ -281,6 +285,15 @@ class Trainer:
         return params, opt_state, (loss_sum / n_good if n_good else None)
 
     def train(self, params, opt_state=None):
+        # the global batch shards over the data axis (reference train.py:86
+        # splits batch_size across ranks the same way); an indivisible batch
+        # would otherwise fail inside the prefetch thread with an opaque XLA
+        # sharding error after the run directory is already created
+        n_data = self.mesh.shape["data"]
+        if int(self.args.batch_size) % n_data:
+            raise SystemExit(
+                f"batch_size={self.args.batch_size} must be divisible by the "
+                f"data-parallel axis ({n_data} devices)")
         if self.tensor_parallel:
             from impx.parallel.tp import shard_params_tp
 

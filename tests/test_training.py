@@ -213,6 +213,52 @@ def test_nan_abort_spans_log_intervals(tmp_path):
     assert "Abort epoch" in log  # the abort fired, not an empty epoch
 
 
+def test_indivisible_batch_rejected_up_front(tmp_path):
+    """batch_size not divisible by the data axis must fail with a clear
+    SystemExit at train() entry, not die inside the prefetch thread (which
+    used to surface as a silent zero-batch epoch)."""
+    import argparse
+
+    import pytest
+
+    from impx.train.trainer import Trainer
+
+    model = _tiny_model()
+    ds = SyntheticMegadepth(num_pairs=8, nfeatures=32, desc_dim=32)
+    args = argparse.Namespace(
+        lr=1e-4, network="gm", feature="spp", batch_size=4, epochs=1,
+        save_path=str(tmp_path), max_keypoints=32, its_per_epoch=2)
+    trainer = Trainer(model, ds, args)
+    assert trainer.mesh.shape["data"] == 8  # conftest's virtual mesh
+    with pytest.raises(SystemExit, match="divisible"):
+        trainer.train(model.init(jax.random.PRNGKey(0)))
+
+
+def test_prefetch_thread_exception_propagates(tmp_path):
+    """An exception in the prefetch producer thread must surface in
+    process_epoch, not be swallowed as a clean end-of-epoch."""
+    import argparse
+
+    import pytest
+
+    from impx.train.trainer import Trainer
+
+    class ExplodingDataset(SyntheticMegadepth):
+        def __getitem__(self, idx):
+            raise RuntimeError("boom in the data pipeline")
+
+    model = _tiny_model()
+    ds = ExplodingDataset(num_pairs=8, nfeatures=32, desc_dim=32)
+    args = argparse.Namespace(
+        lr=1e-4, network="gm", feature="spp", batch_size=8, epochs=1,
+        save_path=str(tmp_path), max_keypoints=32, its_per_epoch=2)
+    trainer = Trainer(model, ds, args)
+    params = replicate(trainer.mesh, model.init(jax.random.PRNGKey(0)))
+    opt_state = replicate(trainer.mesh, trainer.tx.init(params))
+    with pytest.raises(RuntimeError, match="boom"):
+        trainer.process_epoch(params, opt_state)
+
+
 def test_preemption_checkpoint(tmp_path):
     """SIGTERM-flagged preemption: train() stops dispatching, writes a
     {tag}.preempt orbax checkpoint mid-epoch and returns cleanly; the
@@ -227,7 +273,7 @@ def test_preemption_checkpoint(tmp_path):
     model = _tiny_model()
     ds = SyntheticMegadepth(num_pairs=64, nfeatures=32, desc_dim=32)
     args = argparse.Namespace(
-        lr=1e-4, network="gm", feature="spp", batch_size=4, epochs=3,
+        lr=1e-4, network="gm", feature="spp", batch_size=8, epochs=3,
         save_path=str(tmp_path), max_keypoints=32, its_per_epoch=1000,
         log_intervals=2)
     trainer = Trainer(model, ds, args)
