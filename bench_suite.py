@@ -30,6 +30,27 @@ import numpy as np
 
 REF_GPU_PAIRS_PER_SEC = 35.0  # see bench.py
 
+# Bump when the training path changes in a way the hashed (config, hyperparams)
+# recipe can't see (e.g. loss code edits) — invalidates weights/cache entries.
+_WEIGHT_CACHE_VERSION = 1
+
+
+def enable_compilation_cache():
+    """Persistent XLA compilation cache (verified working across processes on
+    this environment's axon TPU backend: 76 s compile -> 1.5 s reload). The
+    bench entry points enable it so a driver run after a session that already
+    compiled these programs spends seconds, not tens of minutes, in compiles.
+    Gitignored (.jax_cache/)."""
+    import os
+
+    import jax
+
+    cache_dir = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
 
 def _gen_batch(seed, batch, n_kpts, dim, with_valid=True):
     """Device-side random matcher feed (traced inside the timed program —
@@ -152,56 +173,47 @@ def bench_iterative(name, model, n_kpts, batch=8, K=6,
     return pairs_per_sec
 
 
-def bench_iterative_trained(model, n_kpts=2048, batch=8, K=6, train_kpts=512,
-                            train_steps=500, num_hypotheses=256,
-                            valid_its=None, eval_inlier_frac=0.25,
-                            min_kpts=25, pose_stop_deg=1.5,
-                            with_uncertainty=False, name="imp",
-                            train_model=None):
-    """Iterative loop with TRAINED weights on matchable synthetic pairs: the
-    early-stop case (converged pairs flip the whole scan to the identity
-    branch). This is the deployment-relevant number — the worst-case config
-    (random weights, never converges) is the floor. Also reports convergence
-    fraction, mean stopping iteration and median pose error vs ground truth
-    so the speed is tied to demonstrated quality."""
+def _trained_matcher_params(tm, train_kpts=512, train_steps=500):
+    """Briefly train `tm` on synthetic matchable scenes (rotating batches),
+    with on-disk caching keyed by a hash of (config, hyperparams, recipe).
+    Returns (params, acc_corr)."""
     import jax
     import jax.numpy as jnp
     from impx.data.megadepth import SyntheticMegadepth
-    from impx.data.synthetic import synthesize_pair
-    from impx.eval.iterative_fused import iterative_fused_batched
-    from impx.geometry.pose import compute_pose_error_np
-    from impx.models.fast import stack_params
     from impx.train.step import (TrainHyperParams, init_stats, make_optimizer,
                                  make_train_step)
 
-    dim = model.config.descriptor_dim
-
-    # -------- train briefly on synthetic matchable scenes (rotating batches)
-    # train_model: e.g. train DGNNS on the differentiable scan fast path and
-    # bench the SAME weights under AdaGMN's uncertainty pooling (identical
-    # parameter structure; EIMP is IMP + pooling, reference adgm.py:15)
-    tm = train_model if train_model is not None else model
+    dim = tm.config.descriptor_dim
     # The training recipe is identical across the iterative configs (always
     # the DGNNS scan fast path at the same dim/kpts/steps), so the trained
     # weights are cached on disk — re-runs and the EIMP variant skip the
-    # 500-step warm-up entirely (weights/cache/ is gitignored).
+    # 500-step warm-up entirely (weights/cache/ is gitignored). The cache key
+    # hashes the full matcher config + the training hyperparams so a recipe
+    # or model-config change can never silently reuse stale weights; leaves
+    # are stored as plain npz arrays (no pickle).
+    import hashlib
     import os
+    # deep (15-layer) matcher from scratch: clip grads and keep lr
+    # moderate or the first steps blow up and the NaN guard no-ops
+    hp = TrainHyperParams(lr=3e-4, decay_iter=10**6, grad_clip=1.0)
+    recipe = repr((dataclasses.asdict(tm.config), dataclasses.asdict(hp),
+                   train_kpts, train_steps, _WEIGHT_CACHE_VERSION))
+    recipe_hash = hashlib.sha256(recipe.encode()).hexdigest()[:12]
+    cache_dir = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "weights", "cache")
     cache_fn = os.path.join(
-        "weights", "cache",
-        f"bench_it_{type(tm).__name__}_{dim}_{train_kpts}_{train_steps}.npy")
+        cache_dir, f"bench_it_{type(tm).__name__}_{dim}_{recipe_hash}.npz")
     acc_corr = None
     if os.path.isfile(cache_fn):
-        blob = np.load(cache_fn, allow_pickle=True).item()
+        with np.load(cache_fn) as blob:
+            leaves = [jnp.asarray(blob[f"leaf_{i}"])
+                      for i in range(int(blob["n_leaves"]))]
+            acc_corr = float(blob["acc_corr"])
         treedef = jax.tree.structure(tm.init(jax.random.PRNGKey(0)))
-        params = jax.tree.unflatten(
-            treedef, [jnp.asarray(x) for x in blob["leaves"]])
-        acc_corr = blob["acc_corr"]
+        params = jax.tree.unflatten(treedef, leaves)
         print(f"[train] cached weights {cache_fn}", file=sys.stderr, flush=True)
     else:
         params = tm.init(jax.random.PRNGKey(0))
-        # deep (15-layer) matcher from scratch: clip grads and keep lr
-        # moderate or the first steps blow up and the NaN guard no-ops
-        hp = TrainHyperParams(lr=3e-4, decay_iter=10**6, grad_clip=1.0)
         step = make_train_step(tm, hp, donate=False)
         opt = make_optimizer(hp).init(params)
         ds = SyntheticMegadepth(num_pairs=128, nfeatures=train_kpts,
@@ -224,33 +236,49 @@ def bench_iterative_trained(model, n_kpts=2048, batch=8, K=6, train_kpts=512,
         acc_corr = float(metrics["acc_corr"])
         leaves = jax.tree.leaves(params)
         os.makedirs(os.path.dirname(cache_fn), exist_ok=True)
-        np.save(cache_fn, {"leaves": [np.asarray(x) for x in leaves],
-                           "acc_corr": acc_corr}, allow_pickle=True)
+        np.savez(cache_fn,
+                 n_leaves=np.asarray(len(leaves)),
+                 acc_corr=np.asarray(acc_corr),
+                 **{f"leaf_{i}": np.asarray(x) for i, x in enumerate(leaves)})
     print(json.dumps({"metric": "iterative_trained_train_acc_corr",
                       "value": round(float(acc_corr), 2),
                       "unit": f"correct matches/pair after {train_steps} steps",
                       "vs_baseline": 0}), flush=True)
+    return params, acc_corr
 
-    # -------- matchable eval stream at the full keypoint budget
-    from impx.data.synthetic import eval_feed_from_pair
 
-    def eval_stack(seed):
-        rs = np.random.RandomState(seed)
-        feeds, poses = [], []
-        for _ in range(K * batch):
-            n_in = int(n_kpts * eval_inlier_frac)
-            pair = synthesize_pair(rs, n_inliers=n_in,
-                                   n_outliers0=n_kpts - n_in,
-                                   n_outliers1=n_kpts - n_in,
-                                   desc_dim=dim, image_size=(480, 640))
-            feeds.append(eval_feed_from_pair(pair, n_kpts))
-            poses.append((pair["R"], pair["T"]))
-        stack = {k: jnp.asarray(
-            np.stack([f[k] for f in feeds]).reshape(
-                K, batch, *feeds[0][k].shape).astype(
-                    np.bool_ if feeds[0][k].dtype == np.bool_ else np.float32))
-            for k in feeds[0]}
-        return stack, poses
+def bench_iterative_trained(model, n_kpts=2048, batch=8, K=6, train_kpts=512,
+                            train_steps=500, num_hypotheses=256,
+                            valid_its=None, eval_inlier_frac=0.25,
+                            min_kpts=25, pose_stop_deg=1.5,
+                            with_uncertainty=False, name="imp",
+                            train_model=None, quality_probe=True):
+    """Iterative loop with TRAINED weights on matchable synthetic pairs: the
+    early-stop case (converged pairs flip the whole scan to the identity
+    branch). This is the deployment-relevant number — the worst-case config
+    (random weights, never converges) is the floor. Also reports convergence
+    fraction, mean stopping iteration and median pose error vs ground truth
+    so the speed is tied to demonstrated quality.
+
+    Data discipline (round 4): every scan step generates DISTINCT matchable
+    geometry ON DEVICE (impx/data/synthetic_device.py — same distribution as
+    the host synthesize_pair), so runs vary by seed like bench.py instead of
+    rolling one uploaded stack; generation costs ~ms against the ~100s-of-ms
+    fused-loop step and is identical across configs being compared.
+
+    train_model: e.g. train DGNNS on the differentiable scan fast path and
+    bench the SAME weights under AdaGMN's uncertainty pooling (identical
+    parameter structure; EIMP is IMP + pooling, reference adgm.py:15)."""
+    import jax
+    import jax.numpy as jnp
+    from impx.data.synthetic_device import synthesize_feed_device
+    from impx.eval.iterative_fused import iterative_fused_batched
+    from impx.geometry.pose import compute_pose_error_np
+    from impx.models.fast import stack_params
+
+    dim = model.config.descriptor_dim
+    tm = train_model if train_model is not None else model
+    params, _ = _trained_matcher_params(tm, train_kpts, train_steps)
 
     stacked = stack_params(params, model.config)
     nts = jnp.full((batch,), 2e-3, jnp.float32)
@@ -271,55 +299,61 @@ def bench_iterative_trained(model, n_kpts=2048, batch=8, K=6, train_kpts=512,
             pose_stop_deg=pose_stop_deg, with_uncertainty=with_uncertainty,
             **extra)
 
+    def gen(seed, k):
+        gk = jax.random.fold_in(jax.random.PRNGKey(7), seed + k)
+        return synthesize_feed_device(gk, batch, n_kpts, dim,
+                                      inlier_frac=eval_inlier_frac)
+
     @jax.jit
-    def run_stream(stacked, stack, keys, shift):
-        # `shift` rotates which batch each scan step consumes: per-run
-        # variation (defeats the relay result cache) without re-uploading
-        # or re-materializing the host-built geometry
+    def run_stream(stacked, seed, keys):
         def body(acc, xs):
             k, key = xs
-            d = jax.tree.map(lambda v: v[(k + shift) % K], stack)
+            d, _, _ = gen(seed, k)
             out = run_one(stacked, d, key)
             return acc + jnp.sum(out["mscores0"]) + jnp.sum(out["stopped_at"]), None
         return jax.lax.scan(body, jnp.zeros(()),
-                            (jnp.arange(K), keys))[0]
-
-    @jax.jit
-    def touch(stack):
-        return sum(jnp.sum(v.astype(jnp.float32)) for v in stack.values())
+                            (jnp.arange(K) * 1000, keys))[0]
 
     # quality probe (untimed): convergence fraction, stop iteration, pose err
-    # over ALL K*batch pairs (a single batch of 8 made the converged-fraction
-    # a 1-in-8-quantized statistic that swung run to run)
-    stack_q, poses_q = eval_stack(1)
-    run_one_j = jax.jit(run_one)
-    conv_l, stops_l, errs = [], [], []
-    for k in range(K):
-        dk = {key_: v[k] for key_, v in stack_q.items()}
-        out = run_one_j(stacked, dk, keys[k])
-        conv_l.append(np.asarray(out["converged"]))
-        stops_l.append(np.asarray(out["stopped_at"]))
-        for bi in range(batch):
-            T_0to1 = np.eye(4)
-            T_0to1[:3, :3] = poses_q[k * batch + bi][0]
-            T_0to1[:3, 3] = poses_q[k * batch + bi][1]
-            err_t, err_R = compute_pose_error_np(
-                T_0to1, np.asarray(out["R"][bi]), np.asarray(out["t"][bi]))
-            errs.append(max(err_R, err_t))
-    conv = np.concatenate(conv_l)
-    stops = np.concatenate(stops_l)
-    print(json.dumps({"metric": "iterative_trained_quality",
-                      "value": round(float(np.median(errs)), 2),
-                      "unit": f"median pose err deg; converged {conv.mean():.2f}; "
-                              f"mean stop {stops.mean():.1f}/{model.config.n_layers}",
-                      "vs_baseline": 0}), flush=True)
+    # over K*batch fresh device-generated pairs with their GT poses
+    if quality_probe:
+        @jax.jit
+        def probe_one(stacked, seed, key):
+            d, R_gt, t_gt = gen(seed, 0)
+            out = run_one(stacked, d, key)
+            return (out["converged"], out["stopped_at"],
+                    out["R"], out["t"], R_gt, t_gt)
 
-    float(touch(stack_q))  # force the one upload before timing
-    float(run_stream(stacked, stack_q, keys, jnp.asarray(0)))  # compile + warm
+        keys_q = jax.random.split(jax.random.PRNGKey(3), K)
+        conv_l, stops_l, errs = [], [], []
+        for k in range(K):
+            c, s, Re, te, Rg, tg = probe_one(
+                stacked, jnp.asarray(50_000 + k * 977), keys_q[k])
+            conv_l.append(np.asarray(c))
+            stops_l.append(np.asarray(s))
+            Re, te, Rg, tg = map(np.asarray, (Re, te, Rg, tg))
+            for bi in range(batch):
+                T_0to1 = np.eye(4)
+                T_0to1[:3, :3] = Rg[bi]
+                T_0to1[:3, 3] = tg[bi]
+                err_t, err_R = compute_pose_error_np(T_0to1, Re[bi], te[bi])
+                errs.append(max(err_R, err_t))
+        conv = np.concatenate(conv_l)
+        stops = np.concatenate(stops_l)
+        print(json.dumps({
+            "metric": "iterative_trained_quality",
+            "value": round(float(np.median(errs)), 2),
+            "unit": f"median pose err deg; converged {conv.mean():.2f}; "
+                    f"mean stop {stops.mean():.1f}/{model.config.n_layers}",
+            "vs_baseline": 0}), flush=True)
+
+    keys = jax.random.split(jax.random.PRNGKey(1), K)
+    float(run_stream(stacked, jnp.asarray(1_000_000), keys))  # compile + warm
+    float(run_stream(stacked, jnp.asarray(9_000_000), keys))
     best = None
-    for shift in (1, 2):
+    for seed in (2_000_000, 3_000_000):
         t0 = time.perf_counter()
-        float(run_stream(stacked, stack_q, keys, jnp.asarray(shift)))
+        float(run_stream(stacked, jnp.asarray(seed), keys))
         dt = time.perf_counter() - t0
         best = dt if best is None else min(best, dt)
     pairs_per_sec = K * batch / best
@@ -330,6 +364,67 @@ def bench_iterative_trained(model, n_kpts=2048, batch=8, K=6, train_kpts=512,
         "vs_baseline": round(pairs_per_sec / REF_GPU_PAIRS_PER_SEC, 3),
     }), flush=True)
     return pairs_per_sec
+
+
+def bench_iterative_latency(model, n_kpts=2048, n_pairs=24, train_kpts=512,
+                            train_steps=500, num_hypotheses=256,
+                            min_kpts=25, pose_stop_deg=1.5, name="imp"):
+    """Single-pair iterative serving latency (ms/pair at batch 1, TRAINED
+    weights): the reference's flagship use case is one pair in, one pose out
+    (eval/matching.py:16-123). One jitted program generates a fresh matchable
+    pair on device (distinct per call — defeats the relay result cache) and
+    runs the fused loop end to end; each call is timed individually with a
+    value readback and p50/p90 are reported. The measured time includes this
+    environment's ~28 ms relay round trip — an upper bound on on-host serving
+    latency (noted in the unit string)."""
+    import jax
+    import jax.numpy as jnp
+    from impx.data.synthetic_device import synthesize_feed_device
+    from impx.eval.iterative_fused import iterative_fused_batched
+    from impx.models.fast import stack_params
+
+    dim = model.config.descriptor_dim
+    params, _ = _trained_matcher_params(model, train_kpts, train_steps)
+    stacked = stack_params(params, model.config)
+    nts = jnp.full((1,), 2e-3, jnp.float32)
+
+    @jax.jit
+    def run_pair(stacked, seed):
+        gk = jax.random.fold_in(jax.random.PRNGKey(7), seed)
+        d, _, _ = synthesize_feed_device(gk, 1, n_kpts, dim)
+        key = jax.random.fold_in(jax.random.PRNGKey(1), seed)
+        layer_keys = jnp.tile(key[None, :], (model.config.n_layers, 1))
+        out = iterative_fused_batched(
+            model, stacked, d, layer_keys, nts,
+            num_hypotheses=num_hypotheses, min_kpts=min_kpts,
+            pose_stop_deg=pose_stop_deg)
+        return (jnp.sum(out["mscores0"]) + jnp.sum(out["stopped_at"]),
+                out["converged"][0], out["stopped_at"][0])
+
+    # compile + relay warm-up on seeds disjoint from the timed ones
+    jax.block_until_ready(run_pair(stacked, jnp.asarray(10_000_000)))
+    float(run_pair(stacked, jnp.asarray(11_000_000))[0])
+
+    lat_ms, n_conv, stops = [], 0, []
+    for i in range(n_pairs):
+        t0 = time.perf_counter()
+        acc, conv, stop = run_pair(stacked, jnp.asarray(2_000_000 + i * 131))
+        float(acc)  # value readback = the only honest sync on this relay
+        lat_ms.append((time.perf_counter() - t0) * 1e3)
+        n_conv += int(conv)
+        stops.append(int(stop))
+    p50 = float(np.percentile(lat_ms, 50))
+    p90 = float(np.percentile(lat_ms, 90))
+    print(json.dumps({
+        "metric": f"{name}_iterative_b1_latency_ms_{n_kpts}kpt_1chip",
+        "value": round(p50, 2),
+        "unit": (f"ms/pair p50 (p90 {p90:.1f}; incl ~28ms relay RTT; "
+                 f"converged {n_conv}/{n_pairs}, mean stop "
+                 f"{np.mean(stops):.1f}/{model.config.n_layers})"),
+        # baseline: one pair per 1/35 s on the estimated reference GPU
+        "vs_baseline": round((1000.0 / 35.0) / p50, 3),
+    }), flush=True)
+    return p50
 
 
 def bench_scannet_e2e(model, batch=4, K=12):
@@ -391,6 +486,44 @@ def bench_scannet_e2e(model, batch=4, K=12):
         "vs_baseline": round(pairs_per_sec / REF_GPU_PAIRS_PER_SEC, 3),
     }), flush=True)
     return pairs_per_sec
+
+
+def bench_superpoint(H=480, W=640, batch=4, K=24, max_keypoints=1024):
+    """SuperPoint extraction alone (bf16 backbone, fp32 conv accumulation) in
+    ms/image — decomposes the ScanNet-e2e number into CNN + matcher parts
+    (reference nets/superpoint.py:148-176 runs this per image on GPU)."""
+    import jax
+    import jax.numpy as jnp
+    from impx.models.superpoint import extract_keypoints, init_params
+
+    sp_params = init_params(jax.random.PRNGKey(1))
+
+    @jax.jit
+    def run_stream(sp_params, seed):
+        def body(acc, k):
+            key = jax.random.fold_in(jax.random.PRNGKey(0), seed + k)
+            img = jax.random.uniform(key, (batch, H, W, 1), jnp.float32)
+            f = extract_keypoints(sp_params, img, max_keypoints=max_keypoints,
+                                  compute_dtype=jnp.bfloat16)
+            return acc + jnp.sum(f["scores"]), None
+        return jax.lax.scan(body, jnp.zeros(()), jnp.arange(K) * 1000)[0]
+
+    float(run_stream(sp_params, jnp.asarray(1_000_000)))
+    float(run_stream(sp_params, jnp.asarray(9_000_000)))
+    best = None
+    for seed in (2_000_000, 3_000_000):
+        t0 = time.perf_counter()
+        float(run_stream(sp_params, jnp.asarray(seed)))
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    ms_per_image = best / (K * batch) * 1e3
+    print(json.dumps({
+        "metric": f"superpoint_ms_per_image_{H}x{W}_bf16_1chip",
+        "value": round(ms_per_image, 3),
+        "unit": f"ms/image ({max_keypoints} kpts)",
+        "vs_baseline": 0,
+    }), flush=True)
+    return ms_per_image
 
 
 def bench_kernels(n_kpts=2048, batch=4, K=200):
@@ -526,6 +659,7 @@ def main(selected):
         raise SystemExit(
             f"bench_suite.py requires a TPU backend (got {jax.default_backend()!r}); "
             "set BENCH_ALLOW_CPU=1 to measure the interpreter anyway")
+    enable_compilation_cache()
 
     def cfg(feature="spp", **over):
         base = MatcherConfig.eval_config(feature, n_layers=15)
@@ -585,7 +719,14 @@ def main(selected):
             lambda c: bench_iterative_trained(
                 AdaGMN(c), 2048, with_uncertainty=True, name="eimp",
                 train_model=DGNNS(c), batch=16, K=3))(cfg()),
+        # single-pair serving latency: trained weights, batch 1, p50/p90 ms
+        "imp_iterative_b1_latency": lambda: bench_iterative_latency(
+            DGNNS(cfg()), 2048),
         "scannet_spp_e2e": lambda: bench_scannet_e2e(DGNNS(cfg())),
+        # CNN-only lines: decompose scannet_spp_e2e into extractor + matcher
+        "superpoint_480x640": lambda: bench_superpoint(480, 640),
+        "superpoint_1200x1600": lambda: bench_superpoint(
+            1200, 1600, batch=2, K=12, max_keypoints=2048),
         "train_step_1024": lambda: bench_train_step(DGNNS(cfg())),
         # log-domain OT head (fused iterated-logsumexp kernel with remat VJP;
         # the bf16-preferred head) — same matcher, different score head

@@ -299,7 +299,7 @@ def run_reference(h5_path, image_dir, tm, use_iterative, max_pairs,
 
 
 def run_impx(h5_path, model, params, use_iterative, pose_backend, max_pairs,
-             num_kpt=512, use_uncertainty=False):
+             num_kpt=512, use_uncertainty=False, checkpoint_backend="jax"):
     from impx.eval import eval_imp as ie
 
     reader = ie.StandardReader({"rawdata_dir": None, "dataset_dir": h5_path,
@@ -307,7 +307,8 @@ def run_impx(h5_path, model, params, use_iterative, pose_backend, max_pairs,
     args = argparse.Namespace(
         use_iterative=use_iterative, use_uncertainty=use_uncertainty,
         pose_backend=pose_backend, eval_batch=1 if use_iterative else 4,
-        bucket=num_kpt, max_pairs=max_pairs, data_parallel=False)
+        bucket=num_kpt, max_pairs=max_pairs, data_parallel=False,
+        checkpoint_backend=checkpoint_backend)
 
     captured = []
     old_sp = ie._score_pair
@@ -383,6 +384,13 @@ def main():
                          "to reuse the trained weights across study runs")
     ap.add_argument("--iterative-only", action="store_true", default=False,
                     help="skip the (already-exact) non-iterative modes")
+    ap.add_argument("--checkpoint-backend", choices=["jax", "cv2", "both"],
+                    default="jax",
+                    help="pose solver at impx's iterative checkpoints: cv2 "
+                         "runs host USAC_MAGSAC inside impx's loop exactly "
+                         "like the reference (eval/matching.py:84-87) — the "
+                         "experiment that isolates matcher divergence from "
+                         "the designed-in backend swap")
     args = ap.parse_args()
 
     import jax
@@ -417,17 +425,29 @@ def main():
         for iterative, uncertainty in modes:
             ref = run_reference(h5, image_dir, tm, iterative, args.pairs,
                                 args.num_kpt, use_uncertainty=uncertainty)
-            for backend in (("cv2", "jax") if not iterative else ("jax",)):
+            # (pose_backend for the evaluator/fallback, checkpoint_backend):
+            # the ckpt-cv2 isolation experiment also routes the fallback pose
+            # through cv2 so EVERY solver call matches the reference's loop
+            if not iterative:
+                variants = [("cv2", "jax"), ("jax", "jax")]
+            elif args.checkpoint_backend == "both":
+                variants = [("jax", "jax"), ("cv2", "cv2")]
+            elif args.checkpoint_backend == "cv2":
+                variants = [("cv2", "cv2")]
+            else:
+                variants = [("jax", "jax")]
+            for backend, ckpt in variants:
                 imp = run_impx(h5, model, params, iterative, backend,
                                args.pairs, args.num_kpt,
-                               use_uncertainty=uncertainty)
+                               use_uncertainty=uncertainty,
+                               checkpoint_backend=ckpt)
                 agree = (coord_set_agreement if uncertainty
                          else match_set_agreement)
                 frac, exact, total, jacc = agree(ref["matches"], imp["matches"])
                 rows.append({
                     "method": method, "iterative": iterative,
                     "uncertainty": uncertainty,
-                    "impx_pose": backend,
+                    "impx_pose": (f"ckpt-{ckpt}" if iterative else backend),
                     "ref_auc": [ref["auc"][k] for k in (5, 10, 20)],
                     "impx_auc": [round(imp["auc"][k], 2) for k in (5, 10, 20)],
                     "ref_prec": ref["precision"],

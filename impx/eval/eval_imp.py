@@ -56,6 +56,14 @@ parser.add_argument("--ransac_hypotheses", type=int, default=4096,
                          "the accuracy-matched eval default per the cross-"
                          "framework study — bench configs pick their own "
                          "throughput-oriented budgets)")
+parser.add_argument("--checkpoint_backend", type=str, default="jax",
+                    choices=["jax", "cv2"],
+                    help="pose solver at the iterative loop's checkpoints: "
+                         "jax = on-device RANSAC (TPU-native); cv2 = host "
+                         "USAC_MAGSAC exactly as the reference's loop "
+                         "(eval/matching.py:84-87) — the divergence-isolation "
+                         "mode for cross-framework studies (forces "
+                         "eval_batch=1 iterative)")
 parser.add_argument("--data_parallel", action="store_true", default=False,
                     help="shard each eval batch's pair axis over all local "
                          "devices (eval_batch should be a multiple of the "
@@ -210,7 +218,9 @@ def evaluate(model, params, reader, error_th: float, eval_config: dict, args) ->
     t_start = time.time()
     t_device = 0.0
 
-    if args.use_iterative and getattr(args, "eval_batch", 4) > 1:
+    ckpt_backend = getattr(args, "checkpoint_backend", "jax")
+    if args.use_iterative and getattr(args, "eval_batch", 4) > 1 \
+            and ckpt_backend == "jax":
         # batched iterative path: B pairs per program, per-pair convergence
         # freezing (impx/eval/iterative.py:BatchedIterativeMatcher)
         from impx.eval.iterative import BatchedIterativeMatcher
@@ -387,7 +397,8 @@ def evaluate(model, params, reader, error_th: float, eval_config: dict, args) ->
                     model, params, norm_thresh=nt, match_ratio=0.1,
                     min_kpts=25,
                     num_hypotheses=getattr(args, "ransac_hypotheses", 4096),
-                    with_uncertainty=args.use_uncertainty)
+                    with_uncertainty=args.use_uncertainty,
+                    checkpoint_backend=ckpt_backend)
             key, sub = jax.random.split(key)
             out = iterative_fn.run(feed, sub, norm_thresh=nt)
             matches = np.asarray(out["indices0"])

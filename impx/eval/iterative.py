@@ -53,7 +53,7 @@ class IterativeMatcher:
                  min_kpts: int = 25, pose_stop_deg: float = 1.5,
                  num_hypotheses: int = 256, with_uncertainty: bool = False,
                  mscore_base: float = 0.2, valid_its: tuple = VALID_ITS,
-                 sample_size: int = 5):
+                 sample_size: int = 5, checkpoint_backend: str = "jax"):
         self.model = model
         self.params = params
         self.valid_its = tuple(valid_its)
@@ -71,8 +71,15 @@ class IterativeMatcher:
         self.sample_size = sample_size
         self.with_uncertainty = with_uncertainty
         self.mscore_base = mscore_base
+        # "jax": on-device RANSAC at every checkpoint (the TPU-native design);
+        # "cv2": host OpenCV USAC_MAGSAC at every checkpoint — byte-for-byte
+        # the reference's checkpoint solver (eval/matching.py:84-87), kept to
+        # isolate matcher-vs-backend divergence in cross-framework studies.
+        assert checkpoint_backend in ("jax", "cv2"), checkpoint_backend
+        self.checkpoint_backend = checkpoint_backend
 
         self._encode = jax.jit(self._encode_impl)
+        self._match_at_j = jax.jit(self._match_at_impl)
         # one compiled step per layer-pair index (parameter structures differ
         # between shared/non-shared layers, so ni is static)
         self._steps = [
@@ -115,6 +122,22 @@ class IterativeMatcher:
         dist = model.compute_distance(params, desc0, desc1, layer_id=ni)
         score = model.compute_score(params, dist, keep0, keep1)
         idx0, idx1, ms0, ms1 = model.compute_matches(score, p=p, valid0=keep0, valid1=keep1)
+        return score, idx0, ms0
+
+    def _match_at_impl(self, ni, desc0, desc1, keep0, keep1):
+        """Checkpoint match extraction WITHOUT the on-device RANSAC — the
+        device half of the cv2 checkpoint backend (the host half mirrors
+        reference eval/matching.py:62-117). Compiles once (ni traced)."""
+        model, params = self.model, self.params
+        fw = jnp.stack([p["w"] for p in params["final_proj"]])
+        fb = jnp.stack([p["b"] for p in params["final_proj"]])
+        mdesc0 = jnp.einsum("bnc,cd->bnd", desc0, fw[ni]) + fb[ni]
+        mdesc1 = jnp.einsum("bnc,cd->bnd", desc1, fw[ni]) + fb[ni]
+        dist = jnp.einsum("bnd,bmd->bnm", mdesc0, mdesc1) / (
+            model.config.descriptor_dim ** 0.5)
+        score = model.compute_score(params, dist, keep0, keep1)
+        idx0, idx1, ms0, ms1 = model.compute_matches(
+            score, p=self.match_ratio, valid0=keep0, valid1=keep1)
         return score, idx0, ms0
 
     def _check_impl(self, ni, desc0, desc1, keep0, keep1, x0n, x1n,
@@ -177,6 +200,8 @@ class IterativeMatcher:
         vary across a dataset; the RANSAC threshold must follow)."""
         if norm_thresh is None:
             norm_thresh = self.norm_thresh
+        if self.checkpoint_backend == "cv2":
+            return self._run_cv2(data, norm_thresh)
         model = self.model
         n_layers = model.config.n_layers
 
@@ -219,6 +244,87 @@ class IterativeMatcher:
         return {
             "indices0": np.asarray(idx0[0]), "mscores0": np.asarray(ms0[0]),
             "R": out["R"], "t": out["t"], "has_pose": out["has_pose"],
+            "stopped_at": n_layers, "converged": False,
+        }
+
+
+    def _run_cv2(self, data: dict[str, Any], norm_thresh) -> dict[str, Any]:
+        """Reference-protocol checkpoints: host cv2 USAC_MAGSAC at every
+        valid iteration, exactly eval/matching.py:45-123 (min-kpts reset,
+        ret-is-None handling, diff-then-update-then-stop ordering, pose-inlier
+        output on convergence, p=0.2 fallback). The layer stepping and match
+        extraction stay on device; only the matched coordinate pairs cross to
+        the host per checkpoint. Used by cross-framework studies to isolate
+        matcher divergence from the pose-backend swap."""
+        from impx.ransac.pose_solver import estimate_pose_cv2
+
+        model = self.model
+        n_layers = model.config.n_layers
+        desc0, desc1 = self._encode(data)
+        keep0, keep1 = data["valid0"], data["valid1"]
+        probs = (None, None, None, None)
+        x0n = np.asarray(data["x0n"], np.float64)
+        x1n = np.asarray(data["x1n"], np.float64)
+        eye = np.eye(3)  # coords are already intrinsic-normalized
+        last_R = last_t = None
+        score = None
+        for ni in range(n_layers):
+            desc0, desc1, probs = self._steps[ni](desc0, desc1, probs,
+                                                  keep0, keep1)
+            if ni not in self.valid_its:
+                continue
+            score, idx0, ms0 = self._match_at_j(jnp.asarray(ni), desc0, desc1,
+                                                keep0, keep1)
+            idx0_np = np.asarray(idx0[0])
+            ms0_np = np.asarray(ms0[0])
+            mids0 = np.where(idx0_np > -1)[0]
+            if mids0.size < self.min_kpts:
+                # reference matching.py:64-67: too few matches resets the pose
+                last_R = last_t = None
+                continue
+            ret = estimate_pose_cv2(x0n[mids0], x1n[idx0_np[mids0]], eye, eye,
+                                    float(norm_thresh))
+            if ret is not None:
+                _, R, t, inliers = ret
+            else:
+                R = t = None
+                inliers = np.zeros(mids0.size, bool)
+            if last_R is not None and R is not None:
+                cos = np.clip((np.trace(last_R.T @ R) - 1.0) / 2.0, -1.0, 1.0)
+                diff_R = np.rad2deg(np.abs(np.arccos(cos)))
+                nrm = np.linalg.norm(last_t) * np.linalg.norm(t)
+                diff_t = np.rad2deg(np.arccos(np.clip(
+                    np.dot(last_t.ravel(), np.asarray(t).ravel()) / (nrm + 1e-15),
+                    -1.0, 1.0)))
+                pose_diff = max(diff_R, diff_t)
+            else:
+                pose_diff = np.inf
+            last_R, last_t = R, t
+            if self.with_uncertainty:
+                # reference matching.py:243-257: pose-inlier-ratio-scaled
+                # pooling threshold (mask semantics, no slicing)
+                ir = float(np.sum(inliers)) / max(mids0.size, 1) \
+                    if R is not None else 0.0
+                mscore_th = self.mscore_base * ir if ir > 0 else self.mscore_base
+                keep0, keep1 = self._pool(score, probs, keep0, keep1,
+                                          jnp.asarray(mscore_th, jnp.float32))
+            if pose_diff <= self.pose_stop_deg:
+                out_idx = np.full_like(idx0_np, -1)
+                sel = mids0[np.asarray(inliers, bool)]
+                out_idx[sel] = idx0_np[sel]
+                return {
+                    "indices0": out_idx, "mscores0": ms0_np,
+                    "R": R, "t": np.asarray(t).ravel(),
+                    "has_pose": True, "stopped_at": ni + 1, "converged": True,
+                }
+        idx0f, _, ms0f, _ = model.compute_matches(
+            score, p=0.2, valid0=keep0, valid1=keep1)
+        return {
+            "indices0": np.asarray(idx0f[0]), "mscores0": np.asarray(ms0f[0]),
+            "R": last_R if last_R is not None else np.eye(3),
+            "t": (np.asarray(last_t).ravel() if last_t is not None
+                  else np.zeros(3)),
+            "has_pose": last_R is not None,
             "stopped_at": n_layers, "converged": False,
         }
 

@@ -95,20 +95,31 @@ def plot_matches_fig(fig, ax, mkpts0, mkpts1, color, lw=1.5, ps=4):
 
 
 def error_colormap(x):
-    """Red (x=0) -> yellow -> green (x=1) RGBA ramp (reference
-    tools/utils.py:850-852); callers pass x = 1 - error so correct matches
-    render green."""
-    x = np.asarray(x)
-    return np.clip(np.stack(
-        [2 - x * 2, x * 2, np.zeros_like(x), np.ones_like(x)], -1), 0, 1)
+    """Red (x=0) -> yellow -> green (x=1) RGBA ramp; callers pass x = 1-error
+    so correct matches render green (same convention as the reference's
+    confidence coloring, tools/utils.py:850)."""
+    x = np.clip(np.asarray(x, np.float64), 0.0, 1.0)
+    # piecewise-linear through (1,0,0) -> (1,1,0) -> (0,1,0)
+    red = np.minimum(1.0, 2.0 * (1.0 - x))
+    green = np.minimum(1.0, 2.0 * x)
+    return np.stack([red, green, np.zeros_like(x), np.ones_like(x)], -1)
+
+
+def _pick_text_color(region, bright="k", dark="w"):
+    """Black text on bright image regions, white on dark ones. Accepts uint8
+    or float imagery; normalizes by the dtype's natural white point."""
+    region = np.asarray(region, np.float64)
+    white = 255.0 if region.max() > 1.5 else 1.0
+    return bright if region.mean() / white > 0.72 else dark
 
 
 def make_matching_plot(image0, image1, kpts0, kpts1, mkpts0, mkpts1, color,
                        text=(), path=None, show_keypoints=False,
                        fast_viz=False, small_text=()):
-    """Annotated match figure (reference tools/utils.py:737-773). color:
-    [M, 4] RGBA per match (e.g. error_colormap(errors)). fast_viz routes to
-    the cv2 canvas (returns the image array instead of saving a figure)."""
+    """Annotated match figure (same API as reference tools/utils.py:737 so
+    eval drivers are drop-in; rendering logic is impx's own). color: [M, 4]
+    RGBA per match (e.g. error_colormap(1 - errors)). fast_viz routes to the
+    cv2 canvas (returns the image array instead of saving a figure)."""
     if fast_viz:
         return make_matching_plot_fast(
             image0, image1, kpts0, kpts1, mkpts0, mkpts1, color, text=text,
@@ -118,92 +129,112 @@ def make_matching_plot(image0, image1, kpts0, kpts1, mkpts0, mkpts1, color,
 
     fig, ax = plot_image_pair([image0, image1])
     if show_keypoints:
-        plot_keypoints(ax, kpts0, kpts1, color="k", ps=20)
-        plot_keypoints(ax, kpts0, kpts1, color="r", ps=10)
+        # single pass: small red dots with a thin white edge (readable on any
+        # background without the double-scatter trick)
+        for a, kp in zip(ax, (kpts0, kpts1)):
+            a.scatter(kp[:, 0], kp[:, 1], s=12, c="r", edgecolors="w",
+                      linewidths=0.4)
     plot_matches_fig(fig, ax, mkpts0, mkpts1, color)
 
     img0 = np.asarray(image0)
-    txt_color = "k" if img0[:100, :150].mean() > 200 else "w"
+    h, w = img0.shape[:2]
+    # sample the actual quadrants the two text blocks overlay
     fig.text(0.01, 0.99, "\n".join(text), transform=ax[0].transAxes,
-             fontsize=15, va="top", ha="left", color=txt_color)
-    txt_color = "k" if img0[-100:, :150].mean() > 200 else "w"
+             fontsize=15, va="top", ha="left",
+             color=_pick_text_color(img0[: h // 3, : w // 3]))
     fig.text(0.01, 0.01, "\n".join(small_text), transform=ax[0].transAxes,
-             fontsize=5, va="bottom", ha="left", color=txt_color)
+             fontsize=5, va="bottom", ha="left",
+             color=_pick_text_color(img0[-(h // 3):, : w // 3]))
     if path is not None:
         fig.savefig(str(path), bbox_inches="tight", pad_inches=0)
     plt.close(fig)
     return fig
 
 
+def _as_bgr(img):
+    import cv2
+
+    img = np.asarray(img)
+    if img.dtype != np.uint8:
+        white = 1.0 if img.max() <= 1.5 else 255.0
+        img = np.clip(np.asarray(img, np.float64) / white * 255.0,
+                      0, 255).astype(np.uint8)
+    if img.ndim == 2:
+        return cv2.cvtColor(img, cv2.COLOR_GRAY2BGR)
+    if img.shape[2] == 1:
+        return cv2.cvtColor(img[..., 0], cv2.COLOR_GRAY2BGR)
+    return img
+
+
 def make_matching_plot_fast(image0, image1, kpts0, kpts1, mkpts0, mkpts1,
                             color, text=(), path=None, show_keypoints=False,
                             margin=10, opencv_display=False,
                             opencv_title="matches", small_text=()):
-    """cv2-only annotated match canvas (reference tools/utils.py:776-847):
-    side-by-side grayscale pair with `margin` px separation, per-match RGBA
-    colors, optional keypoint dots, headline text top-left and small text
-    bottom-left. Returns the uint8 BGR canvas; the matplotlib-free path used
-    for video/demo overlays."""
+    """cv2-only annotated match canvas: side-by-side pair with `margin` px
+    separation, per-match RGBA colors, optional keypoint rings, headline text
+    top-left and small text bottom-left. Same call signature / canvas
+    geometry as the reference's fast path (tools/utils.py:776) so demo/video
+    drivers are drop-in; the rendering itself (color canvas assembly,
+    vectorized color handling, ring keypoints, banner-backed text) is impx's
+    own design. Returns the uint8 BGR canvas."""
     import cv2
 
-    image0 = np.asarray(image0)
-    image1 = np.asarray(image1)
-    h0, w0 = image0.shape[:2]
-    h1, w1 = image1.shape[:2]
+    img0 = _as_bgr(image0)
+    img1 = _as_bgr(image1)
+    h0, w0 = img0.shape[:2]
+    h1, w1 = img1.shape[:2]
     h, w = max(h0, h1), w0 + w1 + margin
-    out = 255 * np.ones((h, w), np.uint8)
-    out[:h0, :w0] = image0 if image0.ndim == 2 else cv2.cvtColor(
-        image0, cv2.COLOR_BGR2GRAY)
-    out[:h1, w0 + margin:] = image1 if image1.ndim == 2 else cv2.cvtColor(
-        image1, cv2.COLOR_BGR2GRAY)
-    out = np.stack([out] * 3, -1)
+    canvas = np.full((h, w, 3), 255, np.uint8)
+    canvas[:h0, :w0] = img0
+    canvas[:h1, w0 + margin:] = img1
+    offset = np.array([w0 + margin, 0])
 
     if show_keypoints:
-        white, black = (255, 255, 255), (0, 0, 0)
-        for x, y in np.round(kpts0).astype(int):
-            cv2.circle(out, (x, y), 2, black, -1, lineType=cv2.LINE_AA)
-            cv2.circle(out, (x, y), 1, white, -1, lineType=cv2.LINE_AA)
-        for x, y in np.round(kpts1).astype(int):
-            cv2.circle(out, (x + margin + w0, y), 2, black, -1,
-                       lineType=cv2.LINE_AA)
-            cv2.circle(out, (x + margin + w0, y), 1, white, -1,
-                       lineType=cv2.LINE_AA)
+        # hollow rings (keeps the underlying pixel visible at the detection)
+        for kp, off in ((kpts0, 0), (kpts1, offset[0])):
+            for x, y in np.rint(np.asarray(kp)).astype(int):
+                cv2.circle(canvas, (x + off, y), 3, (40, 40, 40), 1,
+                           lineType=cv2.LINE_AA)
 
-    mkpts0 = np.round(np.asarray(mkpts0)).astype(int)
-    mkpts1 = np.round(np.asarray(mkpts1)).astype(int)
-    color = (np.asarray(color)[:, :3][:, ::-1] * 255).astype(int)  # RGBA->BGR
-    for (x0, y0), (x1, y1), c in zip(mkpts0, mkpts1, color):
-        c = c.tolist()
-        cv2.line(out, (x0, y0), (x1 + margin + w0, y1), color=c, thickness=1,
-                 lineType=cv2.LINE_AA)
-        cv2.circle(out, (x0, y0), 2, c, -1, lineType=cv2.LINE_AA)
-        cv2.circle(out, (x1 + margin + w0, y1), 2, c, -1,
-                   lineType=cv2.LINE_AA)
+    mk0 = np.rint(np.asarray(mkpts0)).astype(int)
+    mk1 = np.rint(np.asarray(mkpts1)).astype(int) + offset
+    bgr = np.rint(np.asarray(color, np.float64)[:, 2::-1] * 255)
+    bgr = np.clip(bgr, 0, 255).astype(int)
+    for p0, p1, c in zip(mk0, mk1, bgr):
+        c = tuple(int(v) for v in c)
+        cv2.line(canvas, tuple(p0), tuple(p1), c, 1, lineType=cv2.LINE_AA)
+        cv2.circle(canvas, tuple(p0), 3, c, -1, lineType=cv2.LINE_AA)
+        cv2.circle(canvas, tuple(p1), 3, c, -1, lineType=cv2.LINE_AA)
 
-    sc = min(h / 640.0, 2.0)  # text scale relative to a 640px-high canvas
-    ht = int(30 * sc)
-    for i, t in enumerate(text):
-        cv2.putText(out, t, (int(8 * sc), ht * (i + 1)),
-                    cv2.FONT_HERSHEY_DUPLEX, 1.0 * sc, (0, 0, 0), 2,
-                    cv2.LINE_AA)
-        cv2.putText(out, t, (int(8 * sc), ht * (i + 1)),
-                    cv2.FONT_HERSHEY_DUPLEX, 1.0 * sc, (255, 255, 255), 1,
-                    cv2.LINE_AA)
-    hs = int(18 * sc)
-    for i, t in enumerate(reversed(small_text)):
-        cv2.putText(out, t, (int(8 * sc), int(h - hs * (i + 0.6))),
-                    cv2.FONT_HERSHEY_DUPLEX, 0.5 * sc, (0, 0, 0), 2,
-                    cv2.LINE_AA)
-        cv2.putText(out, t, (int(8 * sc), int(h - hs * (i + 0.6))),
-                    cv2.FONT_HERSHEY_DUPLEX, 0.5 * sc, (255, 255, 255), 1,
-                    cv2.LINE_AA)
+    def banner_text(lines, anchor_top, scale):
+        """White text over a darkened strip — readable on any imagery without
+        per-glyph double-stroking."""
+        if not lines:
+            return
+        font, thick = cv2.FONT_HERSHEY_SIMPLEX, 1
+        sizes = [cv2.getTextSize(t, font, scale, thick)[0] for t in lines]
+        line_h = max(s[1] for s in sizes) + int(10 * scale)
+        pad = int(6 * scale)
+        bw = max(s[0] for s in sizes) + 2 * pad
+        bh = line_h * len(lines) + pad
+        y0 = 0 if anchor_top else h - bh
+        strip = canvas[y0:y0 + bh, :bw]
+        strip[:] = (strip.astype(np.uint16) * 2 // 5).astype(np.uint8)
+        for i, t in enumerate(lines):
+            base = y0 + line_h * (i + 1) - int(4 * scale)
+            cv2.putText(canvas, t, (pad, base), font, scale,
+                        (255, 255, 255), thick, cv2.LINE_AA)
+
+    scale = float(np.clip(h / 480.0, 0.6, 1.6))
+    banner_text(list(text), anchor_top=True, scale=0.7 * scale)
+    banner_text(list(small_text), anchor_top=False, scale=0.4 * scale)
 
     if path is not None:
-        cv2.imwrite(str(path), out)
+        cv2.imwrite(str(path), canvas)
     if opencv_display:
-        cv2.imshow(opencv_title, out)
+        cv2.imshow(opencv_title, canvas)
         cv2.waitKey(1)
-    return out
+    return canvas
 
 
 def eval_matches(pred_matches, gt_matches):

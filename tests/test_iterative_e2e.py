@@ -188,3 +188,39 @@ def test_fused_iterative_single_program(trained_model):
     assert np.median(errs) < 5.0, errs
     stops = np.asarray(out["stopped_at"])
     assert (stops[conv] < model.config.n_layers).any(), stops
+
+
+def test_cv2_checkpoint_backend(trained_model):
+    """checkpoint_backend="cv2": host USAC_MAGSAC at every checkpoint inside
+    impx's loop — the reference's exact checkpoint solver (eval/matching.py:
+    84-87), used by cross_study to isolate matcher-vs-backend divergence.
+    Must converge and recover poses like the jax backend does."""
+    pytest.importorskip("cv2")
+    model, params = trained_model
+    matcher = IterativeMatcher(
+        model, params, norm_thresh=2e-3, match_ratio=0.1, min_kpts=15,
+        pose_stop_deg=2.5, valid_its=(1, 2, 3, 4, 5),
+        checkpoint_backend="cv2")
+
+    rs = np.random.RandomState(100)  # same pair stream as the jax-backend test
+    n_converged, errs, stops = 0, [], []
+    key = jax.random.PRNGKey(0)
+    for _ in range(6):
+        feed, pair = _pair_feed(rs)
+        key, sub = jax.random.split(key)
+        out = matcher.run(feed, sub)
+        assert out["indices0"].shape == (N_KPTS,)
+        if bool(out["converged"]):
+            n_converged += 1
+            stops.append(int(out["stopped_at"]))
+            err_R = float(G.angle_error_mat(jnp.asarray(pair["R"]),
+                                            jnp.asarray(out["R"])))
+            err_t = float(G.angle_error_vec(jnp.asarray(pair["T"]),
+                                            jnp.asarray(out["t"])))
+            err_t = min(err_t, 180 - err_t)
+            errs.append(max(err_R, err_t))
+            # converged output keeps only pose-inlier matches
+            assert (np.asarray(out["indices0"]) > -1).sum() >= 15
+    assert n_converged >= 4, f"only {n_converged}/6 pairs converged"
+    assert np.median(errs) < 5.0, errs
+    assert min(stops) < model.config.n_layers, stops
