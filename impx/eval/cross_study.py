@@ -223,6 +223,7 @@ def run_reference(h5_path, image_dir, tm, use_iterative, max_pairs,
 
     limited = _Limited()
     captured = []
+    stops, conv = [], []  # per-pair stop iteration + converged flag (iterative)
 
     old_pm = type(tm).produce_matches
     old_mi = refmod.matching_iterative
@@ -246,6 +247,10 @@ def run_reference(h5_path, image_dir, tm, use_iterative, max_pairs,
                     norm_keypoints0=nk0, norm_keypoints1=nk1)
         out = old_mi(data=data, **kw)
         captured.append(np.asarray(out[0]).copy())
+        # out = (indices0, mscores0, R, t, stop_iteration); R is None when
+        # the pose-diff criterion never fired (reference matching.py:110-123)
+        stops.append(int(out[4]))
+        conv.append(out[2] is not None)
         return out
 
     def wrapped_miu(data=None, **kw):
@@ -264,6 +269,9 @@ def run_reference(h5_path, image_dir, tm, use_iterative, max_pairs,
         coords = np.hstack([pts0_r[valid][:, :2],
                             pts1_r[matches[valid]][:, :2]])
         captured.append(coords)
+        # out = (pts0, pts1, norm0, norm1, indices0, mscores0, R, t, stop)
+        stops.append(int(out[8]))
+        conv.append(out[6] is not None)
         return out
 
     refmod.reader = limited
@@ -295,7 +303,8 @@ def run_reference(h5_path, image_dir, tm, use_iterative, max_pairs,
     assert rows, f"could not parse reference eval output:\n{text[-2000:]}"
     auc5, auc10, auc20, auc50, prec, ms = map(float, rows[-1])
     return {"auc": {5: auc5, 10: auc10, 20: auc20, 50: auc50},
-            "precision": prec, "matching_score": ms, "matches": captured}
+            "precision": prec, "matching_score": ms, "matches": captured,
+            "stops": stops, "converged": conv}
 
 
 def run_impx(h5_path, model, params, use_iterative, pose_backend, max_pairs,
@@ -311,7 +320,18 @@ def run_impx(h5_path, model, params, use_iterative, pose_backend, max_pairs,
         checkpoint_backend=checkpoint_backend)
 
     captured = []
+    stops, conv = [], []
     old_sp = ie._score_pair
+
+    from impx.eval.iterative import IterativeMatcher
+
+    old_run = IterativeMatcher.run
+
+    def wrapped_run(self, data, key, norm_thresh=None):
+        out = old_run(self, data, key, norm_thresh=norm_thresh)
+        stops.append(int(out["stopped_at"]))
+        conv.append(bool(out["converged"]))
+        return out
 
     def wrapped_sp(info, x0, x1, matches, *a, **kw):
         if use_uncertainty:
@@ -327,12 +347,16 @@ def run_impx(h5_path, model, params, use_iterative, pose_backend, max_pairs,
         return old_sp(info, x0, x1, matches, *a, **kw)
 
     ie._score_pair = wrapped_sp
+    IterativeMatcher.run = wrapped_run
     try:
         results = ie.evaluate(model, params, reader, 1.0,
                               {"rescale": 1600, "inlier_th": 0.005}, args)
     finally:
         ie._score_pair = old_sp
+        IterativeMatcher.run = old_run
     results["matches"] = captured
+    results["stops"] = stops
+    results["converged"] = conv
     return results
 
 
@@ -391,6 +415,11 @@ def main():
                          "like the reference (eval/matching.py:84-87) — the "
                          "experiment that isolates matcher divergence from "
                          "the designed-in backend swap")
+    ap.add_argument("--ref-repeats", type=int, default=1,
+                    help="run the REFERENCE eval this many times on identical "
+                         "inputs in non-iterative modes and report the "
+                         "run-to-run AUC spread — brackets how much of any "
+                         "AUC delta is cv2 MAGSAC sampling jitter")
     args = ap.parse_args()
 
     import jax
@@ -425,6 +454,27 @@ def main():
         for iterative, uncertainty in modes:
             ref = run_reference(h5, image_dir, tm, iterative, args.pairs,
                                 args.num_kpt, use_uncertainty=uncertainty)
+            if args.ref_repeats > 1 and not iterative:
+                # identical inputs + weights through the same loop again:
+                # match sets must be bit-identical (torch is deterministic),
+                # so any AUC spread is cv2 MAGSAC run-to-run jitter
+                aucs = {k: [ref["auc"][k]] for k in (5, 10, 20)}
+                for _ in range(args.ref_repeats - 1):
+                    ref2 = run_reference(h5, image_dir, tm, iterative,
+                                         args.pairs, args.num_kpt,
+                                         use_uncertainty=uncertainty)
+                    same = all(
+                        np.array_equal(a, b)
+                        for a, b in zip(ref["matches"], ref2["matches"]))
+                    for k in (5, 10, 20):
+                        aucs[k].append(ref2["auc"][k])
+                spread = {k: round(max(v) - min(v), 2)
+                          for k, v in aucs.items()}
+                print(f"[jitter] {method} non-iterative: ref x"
+                      f"{args.ref_repeats} runs, match sets identical="
+                      f"{same}, AUC@5/10/20 values "
+                      f"{[aucs[k] for k in (5, 10, 20)]} spread {spread}",
+                      flush=True)
             # (pose_backend for the evaluator/fallback, checkpoint_backend):
             # the ckpt-cv2 isolation experiment also routes the fallback pose
             # through cv2 so EVERY solver call matches the reference's loop
@@ -444,7 +494,7 @@ def main():
                 agree = (coord_set_agreement if uncertainty
                          else match_set_agreement)
                 frac, exact, total, jacc = agree(ref["matches"], imp["matches"])
-                rows.append({
+                row = {
                     "method": method, "iterative": iterative,
                     "uncertainty": uncertainty,
                     "impx_pose": (f"ckpt-{ckpt}" if iterative else backend),
@@ -455,7 +505,22 @@ def main():
                     "match_agree": round(100 * frac, 2),
                     "pos_jaccard": round(100 * jacc, 2),
                     "exact_pairs": f"{exact}/{total}",
-                })
+                }
+                if iterative and imp.get("stops"):
+                    # side-by-side convergence + stop-iteration histograms
+                    # (the reference prints exactly this histogram,
+                    # eval/eval_imp.py:213-227)
+                    def _hist(stops):
+                        u, c = np.unique(stops, return_counts=True)
+                        return {int(k): int(v) for k, v in zip(u, c)}
+                    row["ref_conv"] = round(float(np.mean(ref["converged"])), 3)
+                    row["impx_conv"] = round(float(np.mean(imp["converged"])), 3)
+                    row["ref_stop_hist"] = _hist(ref["stops"])
+                    row["impx_stop_hist"] = _hist(imp["stops"])
+                    same_stop = np.mean(np.asarray(ref["stops"]) ==
+                                        np.asarray(imp["stops"]))
+                    row["same_stop_frac"] = round(float(same_stop), 3)
+                rows.append(row)
                 print(rows[-1], flush=True)
 
     print("\n=== cross-framework study (reference torch CPU vs impx) ===")
