@@ -41,15 +41,9 @@ def enable_compilation_cache():
     bench entry points enable it so a driver run after a session that already
     compiled these programs spends seconds, not tens of minutes, in compiles.
     Gitignored (.jax_cache/)."""
-    import os
+    from impx.tools.compile_cache import enable
 
-    import jax
-
-    cache_dir = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
-    jax.config.update("jax_compilation_cache_dir", cache_dir)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    enable()
 
 
 def _gen_batch(seed, batch, n_kpts, dim, with_valid=True):
@@ -505,7 +499,11 @@ def bench_superpoint(H=480, W=640, batch=4, K=24, max_keypoints=1024):
             img = jax.random.uniform(key, (batch, H, W, 1), jnp.float32)
             f = extract_keypoints(sp_params, img, max_keypoints=max_keypoints,
                                   compute_dtype=jnp.bfloat16)
-            return acc + jnp.sum(f["scores"]), None
+            # consume EVERY output head so XLA cannot dead-code-eliminate
+            # the descriptor branch (scores alone don't depend on it)
+            return acc + jnp.sum(f["scores"]) \
+                + jnp.sum(f["descriptors"].astype(jnp.float32)) \
+                + jnp.sum(f["keypoints"]) + jnp.sum(f["valid"]), None
         return jax.lax.scan(body, jnp.zeros(()), jnp.arange(K) * 1000)[0]
 
     float(run_stream(sp_params, jnp.asarray(1_000_000)))
@@ -647,6 +645,147 @@ def bench_train_step(model, n_kpts=1024, batch=16, K=24, name="train_step"):
     return pairs_per_sec
 
 
+def bench_train_roofline(model, n_kpts=1024, batch=16, K=24):
+    """Training-step roofline (where do train_step_1024's milliseconds go,
+    and how far from the MXU bound is it?). Same timing discipline as
+    bench_train_step: one jit program scanning K device-generated batches,
+    value readback in the timed region. Reports per-pair ms for
+
+      fwd      forward loss only (15 supervised iterations incl. the
+               per-iteration Sinkhorn+loss chain, reference gm.py
+               forward_train semantics)
+      grad     value_and_grad (fwd + bwd, no optimizer)
+      full     the real train step (grad + Adam + LR + NaN guard)
+      sink1    full step with sinkhorn_iterations=1 — the delta to `full`
+               is the marginal cost of the 19 extra OT normalization
+               sweeps x 15 supervised iterations
+
+    and the MFU of the full step from XLA's compiled cost analysis against
+    the chip's advertised bf16 peak (v5e: 197 TFLOP/s)."""
+    import dataclasses as dc
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from impx.train.step import (TrainHyperParams, make_train_step,
+                                 make_optimizer, init_stats)
+
+    dim = model.config.descriptor_dim
+    params = model.init(jax.random.PRNGKey(0))
+    hp = TrainHyperParams(lr=1e-4)
+
+    n = n_kpts
+    half = n // 2
+    i = jax.lax.broadcasted_iota(jnp.int32, (n + 1, n + 1), 0)
+    j = jax.lax.broadcasted_iota(jnp.int32, (n + 1, n + 1), 1)
+    gt = ((i == j) & (i < half)) | ((i >= half) & (i < n) & (j == n)) | \
+        ((j >= half) & (j < n) & (i == n))
+    gt = jnp.broadcast_to(gt.astype(jnp.float32), (batch, n + 1, n + 1))
+
+    def feed(seed, k):
+        d = _gen_batch(seed + k, batch, n, dim, with_valid=False)
+        d["matching_mask"] = gt
+        return d
+
+    def loss_of(m):
+        def f(p, d):
+            return m.forward_train(p, d, train=True)["loss"]
+        return f
+
+    def scan_prog(body):
+        @jax.jit
+        def run(params, opt_state, seed):
+            _, out = jax.lax.scan(lambda c, k: body(c, feed(seed, k)),
+                                  (params, opt_state), jnp.arange(K) * 1000)
+            return jnp.sum(out)
+        return run
+
+    # fwd: loss only
+    fwd_loss = loss_of(model)
+
+    def fwd_body(carry, d):
+        p, o = carry
+        return (p, o), fwd_loss(p, d)
+
+    # grad: value_and_grad, grads consumed via global norm (no optimizer)
+    vg = jax.value_and_grad(fwd_loss)
+
+    def grad_body(carry, d):
+        p, o = carry
+        loss, g = vg(p, d)
+        return (p, o), loss + optax.global_norm(g)
+
+    # full: the real train step
+    step = make_train_step(model, hp, donate=False)
+    opt_state = make_optimizer(hp).init(params)
+
+    def full_body(carry, d):
+        p, o = carry
+        p, o, metrics, _ = step(p, o, jnp.zeros((), jnp.int32), d, init_stats())
+        return (p, o), metrics["loss"]
+
+    # sink1: full step, sinkhorn_iterations=1 (same param tree)
+    model1 = type(model)(dc.replace(model.config, sinkhorn_iterations=1))
+    step1 = make_train_step(model1, hp, donate=False)
+
+    def sink1_body(carry, d):
+        p, o = carry
+        p, o, metrics, _ = step1(p, o, jnp.zeros((), jnp.int32), d, init_stats())
+        return (p, o), metrics["loss"]
+
+    def time_prog(body):
+        run = scan_prog(body)
+        float(run(params, opt_state, jnp.asarray(1_000_000)))
+        float(run(params, opt_state, jnp.asarray(9_000_000)))
+        best = None
+        for seed in (2_000_000, 3_000_000):
+            t0 = time.perf_counter()
+            float(run(params, opt_state, jnp.asarray(seed)))
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        return best / (K * batch) * 1e3, run  # ms/pair
+
+    ms_fwd, _ = time_prog(fwd_body)
+    ms_grad, _ = time_prog(grad_body)
+    ms_full, run_full = time_prog(full_body)
+    ms_sink1, _ = time_prog(sink1_body)
+
+    # MFU from an analytic matmul count (XLA's compiled cost_analysis on this
+    # backend reports ~1 GFLOP/pair for a program whose projections alone are
+    # >100 GFLOP — measured useless, so we count the dominant matmuls by
+    # hand; elementwise/normalization traffic is excluded, which UNDERSTATES
+    # the true utilization slightly):
+    #   per layer application on one image (N kpts, dim D, fwd):
+    #     q/k/v proj 3*2*N*D^2, attention 2*2*N^2*D, merge 2*N*D^2,
+    #     MLP cat(2D)->2D->D: 2*N*(2D*2D) + 2*N*(2D*D)
+    #   60 applications/pair (15 iterations x self+cross x 2 images; the
+    #   shared-attention savings on 14 of 60 apps are ignored — understates),
+    #   + per-iteration score matmul 2*N^2*D x 15.
+    #   model-required step flops = 3x forward (fwd + 2x-fwd backward): MFU.
+    #   executed flops with train_remat='full' = 4x (adds the recompute): HFU.
+    N, D = n_kpts, dim
+    per_app = 3 * 2 * N * D * D + 2 * 2 * N * N * D + 2 * N * D * D \
+        + 2 * N * (2 * D) * (2 * D) + 2 * N * (2 * D) * D
+    n_layers = model.config.n_layers
+    fwd_flops = 4 * n_layers * per_app + n_layers * 2 * N * N * D
+    PEAK_BF16 = 197e12  # v5e advertised bf16 peak, one chip
+    mfu = (3 * fwd_flops / (ms_full * 1e-3)) / PEAK_BF16
+    hfu = (4 * fwd_flops / (ms_full * 1e-3)) / PEAK_BF16
+    mfu_fwd = (fwd_flops / (ms_fwd * 1e-3)) / PEAK_BF16
+    print(json.dumps({
+        "metric": f"train_roofline_ms_per_pair_{n_kpts}kpt_b{batch}",
+        "value": round(ms_full, 3),
+        "unit": (f"ms/pair full step (fwd {ms_fwd:.2f}, +bwd {ms_grad:.2f}, "
+                 f"sink1 {ms_sink1:.2f}; analytic {fwd_flops / 1e9:.0f}G fwd "
+                 f"per pair -> fwd MFU {100 * mfu_fwd:.0f}%, step MFU "
+                 f"{100 * mfu:.0f}% / HFU {100 * hfu:.0f}% of 197T bf16 peak)"),
+        "vs_baseline": 0,
+    }), flush=True)
+    return {"fwd": ms_fwd, "grad": ms_grad, "full": ms_full,
+            "sink1": ms_sink1, "flops": fwd_flops, "mfu": mfu}
+
+
 def main(selected):
     import os
 
@@ -745,6 +884,8 @@ def main(selected):
             AdaGMN(cfg()), name="train_step_eimp"),
         # kernel-level microbenchmarks (roofline evidence)
         "kernels": lambda: bench_kernels(),
+        # training-step roofline: fwd/bwd/optimizer/Sinkhorn-chain split + MFU
+        "train_roofline": lambda: bench_train_roofline(DGNNS(cfg())),
     }
     for name in (selected or list(configs)):
         configs[name]()

@@ -426,6 +426,10 @@ def main():
 
     jax.config.update("jax_platforms", "cpu")  # hermetic: torch vs impx on CPU
 
+    from impx.tools.compile_cache import enable as enable_compile_cache
+
+    enable_compile_cache()  # the 15-layer CPU compile dominates startup
+
     from impx.data.synthetic import write_eval_hdf5
 
     tmp = tempfile.mkdtemp(prefix="cross_study_")

@@ -437,6 +437,9 @@ def evaluate(model, params, reader, error_th: float, eval_config: dict, args) ->
 
 
 def main():
+    from impx.tools.compile_cache import enable as enable_compile_cache
+
+    enable_compile_cache()  # cold-start: 15-layer compiles reload in seconds
     args = parser.parse_args()
     feat = args.feature_type
     error_th = 3 if args.dataset == "scannet" else 1

@@ -127,6 +127,9 @@ def build_dataset(args):
 def main(argv=None):
     import jax
 
+    from impx.tools.compile_cache import enable as enable_compile_cache
+
+    enable_compile_cache()  # cold-start: train-step compiles reload in seconds
     args = parser.parse_args(argv)
     if getattr(args, "multihost", False):
         # coordinator/process env comes from the launcher (TPU pods set it);
