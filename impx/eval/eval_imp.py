@@ -391,6 +391,15 @@ def evaluate(model, params, reader, error_th: float, eval_config: dict, args) ->
             x1n = _normalize_intrinsic_np(x1[:, :2], K1)
             feed["x0n"] = jnp.asarray(x0n)
             feed["x1n"] = jnp.asarray(x1n)
+            if ckpt_backend == "cv2":
+                # cv2 checkpoints take PIXEL coords + real intrinsics (the
+                # reference protocol; cv2's USAC internals are not
+                # scale-invariant — see IterativeMatcher._run_cv2)
+                feed["x0px"] = np.asarray(x0[:, :2], np.float64)
+                feed["x1px"] = np.asarray(x1[:, :2], np.float64)
+                feed["K0"] = np.asarray(K0, np.float64)
+                feed["K1"] = np.asarray(K1, np.float64)
+                feed["error_th_px"] = float(error_th)
             nt = _norm_threshold(error_th, K0, K1)
             if iterative_fn is None:
                 iterative_fn = IterativeMatcher(

@@ -255,7 +255,18 @@ class IterativeMatcher:
         output on convergence, p=0.2 fallback). The layer stepping and match
         extraction stay on device; only the matched coordinate pairs cross to
         the host per checkpoint. Used by cross-framework studies to isolate
-        matcher divergence from the pose-backend swap."""
+        matcher divergence from the pose-backend swap.
+
+        cv2 is fed PIXEL coordinates + the real camera matrices when the feed
+        carries them (x0px/x1px/K0/K1 + error_th_px), exactly like the
+        reference (matching.py:84-87 passes pts0_cpu + K0/K1 + error_th).
+        Feeding intrinsic-normalized coords with identity K is mathematically
+        equivalent but NOT behaviorally: cv2's USAC machinery (neighborhood
+        grid for local optimization, degeneracy checks) assumes pixel-scale
+        coordinates, and on ~[-0.5, 0.5] normalized inputs its checkpoint
+        poses jitter enough to defeat the 1.5-degree stop criterion
+        (measured: 20.8% convergence vs the reference's 52.1% on the same
+        pairs; pixel-space restores parity — see STATUS.md)."""
         from impx.ransac.pose_solver import estimate_pose_cv2
 
         model = self.model
@@ -263,9 +274,16 @@ class IterativeMatcher:
         desc0, desc1 = self._encode(data)
         keep0, keep1 = data["valid0"], data["valid1"]
         probs = (None, None, None, None)
-        x0n = np.asarray(data["x0n"], np.float64)
-        x1n = np.asarray(data["x1n"], np.float64)
-        eye = np.eye(3)  # coords are already intrinsic-normalized
+        if "x0px" in data:
+            x0n = np.asarray(data["x0px"], np.float64)
+            x1n = np.asarray(data["x1px"], np.float64)
+            K0 = np.asarray(data["K0"], np.float64)
+            K1 = np.asarray(data["K1"], np.float64)
+            norm_thresh = float(data.get("error_th_px", 1.0))
+        else:
+            x0n = np.asarray(data["x0n"], np.float64)
+            x1n = np.asarray(data["x1n"], np.float64)
+            K0 = K1 = np.eye(3)  # coords are already intrinsic-normalized
         last_R = last_t = None
         score = None
         for ni in range(n_layers):
@@ -282,8 +300,8 @@ class IterativeMatcher:
                 # reference matching.py:64-67: too few matches resets the pose
                 last_R = last_t = None
                 continue
-            ret = estimate_pose_cv2(x0n[mids0], x1n[idx0_np[mids0]], eye, eye,
-                                    float(norm_thresh))
+            ret = estimate_pose_cv2(x0n[mids0], x1n[idx0_np[mids0]],
+                                    K0, K1, float(norm_thresh))
             if ret is not None:
                 _, R, t, inliers = ret
             else:
