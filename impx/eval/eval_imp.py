@@ -395,8 +395,9 @@ def evaluate(model, params, reader, error_th: float, eval_config: dict, args) ->
                 # cv2 checkpoints take PIXEL coords + real intrinsics (the
                 # reference protocol; cv2's USAC internals are not
                 # scale-invariant — see IterativeMatcher._run_cv2)
-                feed["x0px"] = np.asarray(x0[:, :2], np.float64)
-                feed["x1px"] = np.asarray(x1[:, :2], np.float64)
+                # raw reader dtype (float32), like the reference's pts0_cpu
+                feed["x0px"] = np.ascontiguousarray(x0[:, :2])
+                feed["x1px"] = np.ascontiguousarray(x1[:, :2])
                 feed["K0"] = np.asarray(K0, np.float64)
                 feed["K1"] = np.asarray(K1, np.float64)
                 feed["error_th_px"] = float(error_th)

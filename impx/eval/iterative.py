@@ -275,8 +275,9 @@ class IterativeMatcher:
         keep0, keep1 = data["valid0"], data["valid1"]
         probs = (None, None, None, None)
         if "x0px" in data:
-            x0n = np.asarray(data["x0px"], np.float64)
-            x1n = np.asarray(data["x1px"], np.float64)
+            # raw reader dtype preserved — cv2 USAC is dtype-sensitive
+            x0n = np.asarray(data["x0px"])
+            x1n = np.asarray(data["x1px"])
             K0 = np.asarray(data["K0"], np.float64)
             K1 = np.asarray(data["K1"], np.float64)
             norm_thresh = float(data.get("error_th_px", 1.0))
@@ -337,12 +338,13 @@ class IterativeMatcher:
                 }
         idx0f, _, ms0f, _ = model.compute_matches(
             score, p=0.2, valid0=keep0, valid1=keep1)
+        # reference protocol: non-convergence returns NO pose
+        # (matching.py:119-123 returns None, None) — the eval driver then
+        # re-estimates from the final p=0.2 matches
         return {
             "indices0": np.asarray(idx0f[0]), "mscores0": np.asarray(ms0f[0]),
-            "R": last_R if last_R is not None else np.eye(3),
-            "t": (np.asarray(last_t).ravel() if last_t is not None
-                  else np.zeros(3)),
-            "has_pose": last_R is not None,
+            "R": np.eye(3), "t": np.zeros(3),
+            "has_pose": False,
             "stopped_at": n_layers, "converged": False,
         }
 

@@ -137,10 +137,20 @@ def main():
             err_imp = max(er, et)
 
         # stage A: same solver (reference's), float64 input instead
-        ret_64 = ref_estimate_pose(p["mk0"].copy(), p["mk1"].copy(), K0, K1,
+        ret_64 = ref_estimate_pose(p["mk0"].astype(np.float64),
+                                   p["mk1"].astype(np.float64), K0, K1,
                                    1.0, method=cv2.USAC_MAGSAC)
         e_same_dtype = (ret_ref is not None and ret_64 is not None and
                         np.array_equal(ret_ref[0], ret_64[0]))
+        # stage A2: per-call determinism — same solver, same inputs, again
+        ret_rep = ref_estimate_pose(mk0_32.copy(), mk1_32.copy(), K0, K1,
+                                    1.0, method=cv2.USAC_MAGSAC)
+        e_repeat = (ret_ref is not None and ret_rep is not None and
+                    np.array_equal(ret_ref[0], ret_rep[0]))
+        # stage A3: the two frameworks' actual cv2 wrappers, E bitwise
+        e_cross = (ret_ref is not None and ret_imp is not None and
+                   np.array_equal(np.asarray(ret_ref[0]),
+                                  np.asarray(ret_imp[0])))
 
         # stage B: impx decomposition fed the REFERENCE's E + inlier mask
         errB = None
@@ -169,7 +179,8 @@ def main():
             errC = (abs(max(er1, et1) - max(er2, et2)))
 
         rows.append({"pair": i, "err_ref": err_ref, "err_imp": err_imp,
-                     "E_equal_dtype": e_same_dtype, "decomp_equal": errB,
+                     "E_equal_dtype": e_same_dtype, "E_repeat": e_repeat,
+                     "E_cross": e_cross, "decomp_equal": errB,
                      "errfn_absdiff": errC})
 
     d = np.array([abs(r["err_ref"] - r["err_imp"]) for r in rows])
@@ -178,6 +189,10 @@ def main():
           f"{n_diff}/{len(rows)}")
     print(f"[probe] stage A (E bitwise equal f32 vs f64 input): "
           f"{sum(bool(r['E_equal_dtype']) for r in rows)}/{len(rows)}")
+    print(f"[probe] stage A2 (E bitwise equal, repeated identical call): "
+          f"{sum(bool(r['E_repeat']) for r in rows)}/{len(rows)}")
+    print(f"[probe] stage A3 (E bitwise equal, ref wrapper vs impx wrapper): "
+          f"{sum(bool(r['E_cross']) for r in rows)}/{len(rows)}")
     print(f"[probe] stage B (impx decomp == ref decomp on same E): "
           f"{sum(bool(r['decomp_equal']) for r in rows)}/{len(rows)}")
     cmax = max(r["errfn_absdiff"] for r in rows if r["errfn_absdiff"]
@@ -188,6 +203,7 @@ def main():
         if abs(r["err_ref"] - r["err_imp"]) > 0.1:
             print(f"  pair {r['pair']:2d}: ref {r['err_ref']:8.3f}  "
                   f"impx {r['err_imp']:8.3f}  E_eq={r['E_equal_dtype']} "
+                  f"E_rep={r['E_repeat']} E_cross={r['E_cross']} "
                   f"decomp_eq={r['decomp_equal']} "
                   f"errfn_d={r['errfn_absdiff']:.1e}")
 

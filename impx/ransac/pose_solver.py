@@ -264,8 +264,18 @@ def estimate_pose_cv2(kpts0, kpts1, K0, K1, norm_thresh, conf: float = 0.99999,
     """
     import cv2
 
-    kpts0 = np.ascontiguousarray(kpts0, dtype=np.float64)
-    kpts1 = np.ascontiguousarray(kpts1, dtype=np.float64)
+    # Preserve the caller's float dtype: cv2's USAC returns a DIFFERENT
+    # (deterministic) model for float32 vs float64 inputs of identical
+    # values, and the reference feeds its reader's float32 keypoints
+    # verbatim (eval/matching.py:84, eval_imp.py:204) — casting here made
+    # the two frameworks' pose errors diverge on ~1 in 8 pairs at
+    # bit-identical match sets (see impx/eval/pose_delta_probe.py).
+    kpts0 = np.ascontiguousarray(kpts0)
+    kpts1 = np.ascontiguousarray(kpts1)
+    if kpts0.dtype not in (np.float32, np.float64):
+        kpts0 = kpts0.astype(np.float64)
+    if kpts1.dtype not in (np.float32, np.float64):
+        kpts1 = kpts1.astype(np.float64)
     if len(kpts0) < 5:
         return None
     m = cv2.USAC_MAGSAC if method == "magsac" else cv2.RANSAC

@@ -164,3 +164,42 @@ def test_gn_refinement_improves_pose():
             errs[refine].append(max(err_R, err_t))
     assert np.median(errs[8]) <= np.median(errs[0]) + 1e-9, errs
     assert np.median(errs[8]) < 2.0, errs
+
+
+def test_estimate_pose_cv2_reference_bitexact():
+    """impx's host cv2 wrapper must be byte-for-byte the reference's
+    eval/pose_estimation.py:92-115 call: same dtype in (cv2 USAC_MAGSAC
+    returns a DIFFERENT deterministic E for float32 vs float64 inputs of
+    identical values — the round-4 root cause of the non-iterative AUC
+    delta at bit-identical match sets; impx/eval/pose_delta_probe.py)."""
+    cv2 = pytest.importorskip("cv2")
+    import sys
+
+    sys.path.insert(0, "/root/reference")
+    from eval.pose_estimation import estimate_pose as ref_estimate_pose
+
+    from impx.ransac.pose_solver import estimate_pose_cv2
+
+    rs = np.random.RandomState(7)
+    n_in, n_out = 300, 150
+    R, t, x0, x1 = synthetic_pair(rs, n=n_in, noise=1e-3)
+    _, _, ox0, ox1 = synthetic_pair(rs, n=n_out)
+    K = np.array([[900.0, 0, 320.0], [0, 900.0, 240.0], [0, 0, 1.0]])
+
+    def px(xn):
+        return (xn * np.array([K[0, 0], K[1, 1]]) + K[:2, 2])
+
+    # float32 pixel coords, like the reference readers produce
+    k0 = np.vstack([px(x0), px(ox0)]).astype(np.float32)
+    k1 = np.vstack([px(x1), px(np.roll(ox1, 3, axis=0))]).astype(np.float32)
+
+    ret_ref = ref_estimate_pose(k0.copy(), k1.copy(), K, K, 1.0,
+                                method=cv2.USAC_MAGSAC)
+    ret_imp = estimate_pose_cv2(k0, k1, K, K, 1.0)
+    assert ret_ref is not None and ret_imp is not None
+    # identical essential matrix (per-call deterministic solver, identical
+    # inputs) and matching cheirality pick
+    assert np.array_equal(np.asarray(ret_ref[0]), np.asarray(ret_imp[0]))
+    assert np.allclose(ret_imp[1], ret_ref[1], atol=1e-5)
+    assert np.allclose(np.asarray(ret_imp[2]).ravel(),
+                       np.asarray(ret_ref[2]).ravel(), atol=1e-5)
