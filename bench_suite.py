@@ -878,6 +878,14 @@ def main(selected):
         # (holds projection/Sinkhorn intermediates in HBM instead)
         "train_step_1024_dots": lambda: bench_train_step(
             DGNNS(cfg(train_remat="dots")), name="train_step_dots"),
+        # named-save remat: store only the fused-attention kernel outputs
+        # (skips the priciest VPU recompute in the backward)
+        "train_step_1024_attn": lambda: bench_train_step(
+            DGNNS(cfg(train_remat="attn")), name="train_step_attn"),
+        # + score head outside the remat region (Sinkhorn custom-VJP
+        # residuals stored once instead of the u/v loop replaying in bwd)
+        "train_step_1024_attn_head": lambda: bench_train_step(
+            DGNNS(cfg(train_remat="attn_head")), name="train_step_attn_head"),
         # EIMP training (masked pooling in the loss loop, reference
         # adgm.py:49-325 semantics)
         "train_step_1024_eimp": lambda: bench_train_step(

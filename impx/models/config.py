@@ -55,6 +55,10 @@ class MatcherConfig:
     # pass (minimum HBM; ~1.3x forward recompute), 'dots' saves batched-dot
     # outputs (jax.checkpoint_policies.dots_saveable — skips re-running the
     # MXU work at the cost of holding projection/Sinkhorn intermediates),
+    # 'attn' saves only the fused-attention kernel outputs (skips the
+    # priciest VPU recompute, everything else rematerialized), 'attn_head'
+    # additionally lifts the score head + loss OUT of the remat region so the
+    # Sinkhorn custom-VJP residuals are stored instead of replayed,
     # 'none' stores everything (only viable at small batch/N)
     train_remat: str = "full"
 

@@ -30,6 +30,7 @@ from typing import Any
 
 import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 
 from impx.models.config import MatcherConfig
 from impx.ops.attention import _interpret
@@ -111,6 +112,11 @@ def _attn_block(L, x, source, qk_carry, key_mask, query_mask, num_heads, ac_fn,
     k_used = jnp.where(shared, qk_carry["k"], k_new)
 
     out = mha_fused(q_used, k_used, v, key_mask, interpret=interpret)
+    # name the kernel output so the 'attn'/'attn_head' remat policies can
+    # save it: the backward then reuses the stored value instead of re-running
+    # the fused kernel (the priciest VPU work in the body); a no-op outside
+    # remat and under the other policies
+    out = checkpoint_name(out, "attn_out")
     message = _merge_heads(L["merge"], out.astype(x.dtype))
 
     y = jnp.concatenate([x, message], axis=-1)
@@ -267,6 +273,23 @@ def forward_scan(
     return {"scores": out_scores, "indices0": out_idx0, "mscores0": out_ms0}
 
 
+def _remat(fn, mode: str):
+    """Wrap `fn` per the train_remat mode (MatcherConfig.train_remat):
+    'full' recomputes everything, 'dots' saves MXU outputs, 'attn'/'attn_head'
+    save the named fused-attention kernel outputs (skip the priciest VPU
+    recompute), 'none' stores everything."""
+    if mode == "none":
+        return fn
+    if mode == "dots":
+        return jax.checkpoint(fn, prevent_cse=False,
+                              policy=jax.checkpoint_policies.dots_saveable)
+    if mode in ("attn", "attn_head"):
+        return jax.checkpoint(
+            fn, prevent_cse=False,
+            policy=jax.checkpoint_policies.save_only_these_names("attn_out"))
+    return jax.checkpoint(fn, prevent_cse=False)
+
+
 def forward_train_scan(model, stacked: dict, data: dict[str, Any]):
     """DGNNS training forward on the scan fast path: per-iteration Sinkhorn +
     GraphLoss accumulated in the scan carry (reference gms.py:48-137
@@ -314,8 +337,7 @@ def forward_train_scan(model, stacked: dict, data: dict[str, Any]):
     def swap(x):
         return jnp.concatenate([x[b:], x[:b]], axis=0)
 
-    def body(carry, per_it):
-        desc, qk_self, qk_cross, terms, _ = carry
+    def attn_part(desc, qk_self, qk_cross, per_it):
         delta, qk_self = _attn_block(per_it["self"], desc, desc, qk_self, mask, mask,
                                      h, cfg.ac_fn, compute_dtype, interpret)
         desc = desc + delta
@@ -323,7 +345,9 @@ def forward_train_scan(model, stacked: dict, data: dict[str, Any]):
                                       mask_swap, mask, h, cfg.ac_fn, compute_dtype,
                                       interpret)
         desc = desc + delta
+        return desc, qk_self, qk_cross
 
+    def head_part(desc, per_it, terms):
         pl = {"final_proj": [{"w": per_it["final_w"], "b": per_it["final_b"]}],
               "bin_score": stacked["bin_score"]}
         d0, d1 = desc[:b].astype(jnp.float32), desc[b:].astype(jnp.float32)
@@ -333,26 +357,39 @@ def forward_train_scan(model, stacked: dict, data: dict[str, Any]):
         if epi is not None:
             prob = jnp.exp(score) if model.scores_are_log else score
             t["geo"] = geo_loss(prob, epi, valid0, valid1)
-        terms = jax.tree.map(jnp.add, terms, t)
-        return (desc, qk_self, qk_cross, terms, score), None
+        return jax.tree.map(jnp.add, terms, t), score
 
     per_it = {"self": stacked["self"], "cross": stacked["cross"],
               "final_w": stacked["final_w"], "final_b": stacked["final_b"]}
     zero_terms = {"corr": jnp.zeros(()), "incorr": jnp.zeros(()), "neg": jnp.zeros(())}
     if epi is not None:
         zero_terms["geo"] = jnp.zeros(())
-    # rematerialize the body in the backward pass: storing 15 iterations of
-    # Sinkhorn plans + MLP intermediates (>4 GB at batch 16 / N 1024) blows
-    # HBM; recompute costs ~1.3x forward time instead. cfg.train_remat picks
-    # the policy ('full' | 'dots' | 'none' — see MatcherConfig).
-    if cfg.train_remat == "none":
+    # rematerialize in the backward pass: storing 15 iterations of Sinkhorn
+    # plans + MLP intermediates (>4 GB at batch 16 / N 1024) blows HBM;
+    # recompute costs ~1.3x forward time instead. cfg.train_remat picks the
+    # policy ('full' | 'dots' | 'attn' | 'attn_head' | 'none' — MatcherConfig).
+    if cfg.train_remat == "attn_head":
+        # remat ONLY the attention blocks (kernel outputs saved by name); the
+        # score head + loss stay OUTSIDE the remat region so the Sinkhorn
+        # custom-VJP residuals (per-sweep u/v history) are stored once
+        # instead of the whole u/v marginal loop replaying in the backward
+        attn_ckpt = _remat(attn_part, "attn")
+
+        def body(carry, per_it):
+            desc, qk_self, qk_cross, terms, _ = carry
+            desc, qk_self, qk_cross = attn_ckpt(desc, qk_self, qk_cross, per_it)
+            terms, score = head_part(desc, per_it, terms)
+            return (desc, qk_self, qk_cross, terms, score), None
+
         body_ckpt = body
-    elif cfg.train_remat == "dots":
-        body_ckpt = jax.checkpoint(
-            body, prevent_cse=False,
-            policy=jax.checkpoint_policies.dots_saveable)
     else:
-        body_ckpt = jax.checkpoint(body, prevent_cse=False)
+        def body(carry, per_it):
+            desc, qk_self, qk_cross, terms, _ = carry
+            desc, qk_self, qk_cross = attn_part(desc, qk_self, qk_cross, per_it)
+            terms, score = head_part(desc, per_it, terms)
+            return (desc, qk_self, qk_cross, terms, score), None
+
+        body_ckpt = _remat(body, cfg.train_remat)
     (desc, _, _, terms, last_score), _ = jax.lax.scan(
         body_ckpt, (desc, zero_qk, zero_qk, zero_terms, zero_score), per_it)
 
@@ -825,14 +862,10 @@ def forward_train_scan_eimp(model, stacked: dict, data: dict[str, Any]):
 
     carry0 = (desc, zero_qk, zero_qk, valid0, valid1, zero_terms, zero_acc,
               zero_score, zero_idx, zero_ms)
-    if cfg.train_remat == "none":
-        body_ckpt = body
-    elif cfg.train_remat == "dots":
-        body_ckpt = jax.checkpoint(
-            body, prevent_cse=False,
-            policy=jax.checkpoint_policies.dots_saveable)
-    else:
-        body_ckpt = jax.checkpoint(body, prevent_cse=False)
+    # 'attn_head' maps to 'attn' here: the EIMP body interleaves pooling with
+    # the score head, so the head can't be lifted out of the remat region
+    body_ckpt = _remat(body, "attn" if cfg.train_remat == "attn_head"
+                       else cfg.train_remat)
     (desc, _, _, keep0, keep1, terms, acc, last_score, last_idx0,
      last_ms0), _ = jax.lax.scan(body_ckpt, carry0, per_it)
 
