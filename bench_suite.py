@@ -774,7 +774,8 @@ def bench_train_roofline(model, n_kpts=1024, batch=16, K=24):
     hfu = (4 * fwd_flops / (ms_full * 1e-3)) / PEAK_BF16
     mfu_fwd = (fwd_flops / (ms_fwd * 1e-3)) / PEAK_BF16
     print(json.dumps({
-        "metric": f"train_roofline_ms_per_pair_{n_kpts}kpt_b{batch}",
+        "metric": (f"train_roofline_{model.config.train_remat}"
+                   f"_ms_per_pair_{n_kpts}kpt_b{batch}"),
         "value": round(ms_full, 3),
         "unit": (f"ms/pair full step (fwd {ms_fwd:.2f}, +bwd {ms_grad:.2f}, "
                  f"sink1 {ms_sink1:.2f}; analytic {fwd_flops / 1e9:.0f}G fwd "
@@ -886,6 +887,10 @@ def main(selected):
         # residuals stored once instead of the u/v loop replaying in bwd)
         "train_step_1024_attn_head": lambda: bench_train_step(
             DGNNS(cfg(train_remat="attn_head")), name="train_step_attn_head"),
+        # union policy: attention outputs AND all MXU outputs saved — tests
+        # whether the dots regression was the recompute or the residency
+        "train_step_1024_attn_dots": lambda: bench_train_step(
+            DGNNS(cfg(train_remat="attn_dots")), name="train_step_attn_dots"),
         # EIMP training (masked pooling in the loss loop, reference
         # adgm.py:49-325 semantics)
         "train_step_1024_eimp": lambda: bench_train_step(
@@ -894,6 +899,11 @@ def main(selected):
         "kernels": lambda: bench_kernels(),
         # training-step roofline: fwd/bwd/optimizer/Sinkhorn-chain split + MFU
         "train_roofline": lambda: bench_train_roofline(DGNNS(cfg())),
+        # roofline under the 'attn' operating point (HFU note: executed
+        # flops sit between 3x and 4x fwd — the attention recompute is
+        # skipped, the rest still rematerializes)
+        "train_roofline_attn": lambda: bench_train_roofline(
+            DGNNS(cfg(train_remat="attn"))),
     }
     for name in (selected or list(configs)):
         configs[name]()

@@ -59,6 +59,7 @@ class MatcherConfig:
     # priciest VPU recompute, everything else rematerialized), 'attn_head'
     # additionally lifts the score head + loss OUT of the remat region so the
     # Sinkhorn custom-VJP residuals are stored instead of replayed,
+    # 'attn_dots' saves both the attention outputs AND all MXU outputs,
     # 'none' stores everything (only viable at small batch/N)
     train_remat: str = "full"
 

@@ -287,6 +287,12 @@ def _remat(fn, mode: str):
         return jax.checkpoint(
             fn, prevent_cse=False,
             policy=jax.checkpoint_policies.save_only_these_names("attn_out"))
+    if mode == "attn_dots":
+        return jax.checkpoint(
+            fn, prevent_cse=False,
+            policy=jax.checkpoint_policies.save_from_both_policies(
+                jax.checkpoint_policies.dots_saveable,
+                jax.checkpoint_policies.save_only_these_names("attn_out")))
     return jax.checkpoint(fn, prevent_cse=False)
 
 

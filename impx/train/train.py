@@ -70,7 +70,8 @@ parser.add_argument("--log_ot", action="store_true",
                          "(superglue.py:180-209 semantics; the preferred "
                          "head for bf16 training)")
 parser.add_argument("--train_remat", type=str, default="full",
-                    choices=["full", "dots", "attn", "attn_head", "none"],
+                    choices=["full", "dots", "attn", "attn_head", "attn_dots",
+                             "none"],
                     help="remat policy for the training layer scan "
                          "(see MatcherConfig.train_remat)")
 parser.add_argument("--multihost", action="store_true",

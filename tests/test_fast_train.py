@@ -49,7 +49,7 @@ def test_train_remat_policies_identical():
     batch = _batch()
     params = DGNNS(base).init(jax.random.PRNGKey(0))
     ref_loss, ref_grads = None, None
-    for policy in ("full", "dots", "attn", "attn_head", "none"):
+    for policy in ("full", "dots", "attn", "attn_head", "attn_dots", "none"):
         m = DGNNS(dataclasses.replace(base, train_remat=policy))
         loss, grads = jax.value_and_grad(
             lambda p: m.forward_train(p, batch, train=True)["loss"])(params)
