@@ -182,8 +182,9 @@ def main():
             AdaGMN(_cfg(compaction=((4, 1024), (8, 512), (12, 256)))), 2048)),
         ("imp_sift", lambda: bs.bench_forward(
             "imp_sift", DGNNS(_cfg("sift")), 2048)),
-        # named-save 'attn' remat is the measured training operating point
-        # (77.8 vs 71.9 pairs/s under 'full' — STATUS.md variant table)
+        # named-save 'attn' remat + the training scan's automatic full-N
+        # q-block is the measured operating point (80.6 vs 71.9 pairs/s
+        # under 'full'/block-256 — STATUS.md variant table)
         ("train_step_1024", lambda: bs.bench_train_step(
             DGNNS(_cfg(train_remat="attn")))),
         ("imp_iterative_b1_latency", lambda: bs.bench_iterative_latency(

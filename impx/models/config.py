@@ -62,6 +62,11 @@ class MatcherConfig:
     # 'attn_dots' saves both the attention outputs AND all MXU outputs,
     # 'none' stores everything (only viable at small batch/N)
     train_remat: str = "full"
+    # q-block size for the fused attention kernel (None = kernel default 256
+    # on the eval paths; the TRAINING scan picks the full keypoint count when
+    # N <= 1024 — measured +3% at the published training config: a single
+    # q-block removes the backward kernel's dk/dv accumulation sweeps)
+    attn_block_q: int | None = None
 
     @property
     def gnn_layers(self) -> list[str]:

@@ -74,6 +74,10 @@ parser.add_argument("--train_remat", type=str, default="full",
                              "none"],
                     help="remat policy for the training layer scan "
                          "(see MatcherConfig.train_remat)")
+parser.add_argument("--attn_block_q", type=int, default=0,
+                    help="fused-attention q-block override (0 = automatic: "
+                         "full-N single block when max_keypoints <= 1024, "
+                         "kernel default 256 otherwise)")
 parser.add_argument("--multihost", action="store_true",
                     help="initialize jax.distributed (multi-host mesh over DCN; "
                          "the data mesh then spans all hosts' chips)")
@@ -104,6 +108,7 @@ def build_model(args):
         attn_impl=args.attn_impl,
         log_ot=args.log_ot,
         train_remat=args.train_remat,
+        attn_block_q=args.attn_block_q or None,
     )
     return {"gm": GM, "dgnns": DGNNS, "adagmn": AdaGMN}[args.network](cfg)
 
