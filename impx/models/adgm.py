@@ -275,9 +275,13 @@ class AdaGMN(DGNNS):
         cfg.train_remat) under the same conditions as produce_matches."""
         if (self.config.attn_impl == "pallas" and self.config.norm_fn == "in"
                 and not self.config.log_ot):
-            from impx.models.fast import forward_train_scan_eimp, stack_params
+            from impx.models.fast import (forward_train_scan_eimp,
+                                          forward_train_scan_eimp_compact,
+                                          stack_params)
 
             stacked = stack_params(params, self.config)
+            if self.config.train_compaction:
+                return forward_train_scan_eimp_compact(self, stacked, data)
             return forward_train_scan_eimp(self, stacked, data)
         gt = data["matching_mask"]
         all_scores, all_idx0, all_ms0, total, _ = self._iterate(

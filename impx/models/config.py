@@ -31,6 +31,18 @@ class MatcherConfig:
     # savings). Shrinks the O(N^2) attention/Sinkhorn cost like the
     # reference's dynamic slicing, at XLA-static shapes.
     compaction: tuple = ()
+    # EIMP bucketed compaction for TRAINING (forward_train_scan_eimp_compact):
+    # same ((iteration, bucket), ...) schedule applied to the training scan —
+    # the GT assignment mask is gathered along with the keypoints, the loss
+    # runs on the compacted score matrix, and matches/accuracy are scattered
+    # back to original indexing. Physically dropping tokens is the SLICED
+    # semantics (like the compacted eval path / the reference's
+    # eval/matching.py:166-174), a deliberate departure from the reference's
+    # masked training (discarded tokens stay as queries + in IN statistics)
+    # in exchange for real FLOP savings; overflow (survivors beyond the
+    # bucket) is counted and reported in the step metrics. Empty = the
+    # reference-semantics masked trainer.
+    train_compaction: tuple = ()
     # geometry-supervised (_geo) training: add a pose-consistency loss term —
     # assignment probabilities weighted by the clamped epipolar error under
     # the gt pose (reference nets/loss.py:20 `with_pose` hook; trains the

@@ -636,12 +636,16 @@ def _stable_topk_indices(keep, k):
     return idx.astype(jnp.int32)
 
 
-def _compact_gather(desc, qk_self, qk_cross, keep0, keep1, g0, g1, b, k):
+def _compact_gather(desc, qk_self, qk_cross, keep0, keep1, g0, g1, b, k,
+                    i0=None, i1=None):
     """Gather both images' keypoint sets into k slots (reference adgm.py's
     dynamic slicing, static-shape version; gids track original indices,
-    adgm.py:212-215)."""
-    i0 = _stable_topk_indices(keep0, k)
-    i1 = _stable_topk_indices(keep1, k)
+    adgm.py:212-215). i0/i1 let the caller precompute the slot indices (the
+    training path also gathers the GT mask with them)."""
+    if i0 is None:
+        i0 = _stable_topk_indices(keep0, k)
+    if i1 is None:
+        i1 = _stable_topk_indices(keep1, k)
     take = lambda x, i: jnp.take_along_axis(x, i, axis=1)
     d0 = jnp.take_along_axis(desc[:b], i0[:, :, None], axis=1)
     d1 = jnp.take_along_axis(desc[b:], i1[:, :, None], axis=1)
@@ -907,5 +911,208 @@ def forward_train_scan_eimp(model, stacked: dict, data: dict[str, Any]):
         "geo_loss": terms.get("geo", jnp.zeros(())),
         "matching_scores0": last_ms0,
         "matches0": last_idx0,
+        **acc,
+    }
+
+
+def _gather_gt(gt, i0, i1):
+    """Gather the (N+1)x(M+1) GT assignment mask into local bucket space:
+    rows by i0 + the dustbin row, cols by i1 + the dustbin col. GT rows/cols
+    of tokens outside the gathered set simply vanish — the sliced-pooling
+    semantics (their matches are no longer supervisable once the tokens are
+    physically dropped)."""
+    b, n1, m1 = gt.shape
+    ri = jnp.concatenate(
+        [i0, jnp.full((b, 1), n1 - 1, jnp.int32)], axis=1)  # [b, k+1]
+    ci = jnp.concatenate(
+        [i1, jnp.full((b, 1), m1 - 1, jnp.int32)], axis=1)
+    g = jnp.take_along_axis(gt, ri[:, :, None], axis=1)
+    return jnp.take_along_axis(g, ci[:, None, :], axis=2)
+
+
+def forward_train_scan_eimp_compact(model, stacked: dict, data: dict[str, Any]):
+    """AdaGMN training with BUCKETED COMPACTION: the eval path's physical
+    token gathering (forward_scan_eimp_compact) applied to the training scan,
+    so late-iteration attention/Sinkhorn/loss run on the pooled survivor set
+    instead of masked full-size tensors. Beyond the reference, which always
+    trains full-size with masks (adgm.py:49-325); this is the sliced-pooling
+    semantics of its eval loop (eval/matching.py:166-174) brought to
+    training: after each cfg.train_compaction point, discarded tokens are
+    physically gone — no longer attention queries and no longer in
+    InstanceNorm statistics. Identical to forward_train_scan_eimp while no
+    token has been discarded before a gather (tests/test_fast_train.py pins
+    loss AND grads); afterwards it is a deliberately different (cheaper)
+    training objective, reported per step via compaction overflow counters.
+
+    The GT mask is gathered alongside the keypoints (_gather_gt), the loss
+    runs in local bucket space, and matches/accuracy are scattered back to
+    original indexing so the step metrics stay comparable with the masked
+    trainer."""
+    from impx.models.adgm import _masked_gt
+    from impx.models.loss import (geo_loss, graph_loss, matching_accuracy,
+                                  maybe_epipolar_matrix)
+    from impx.ops.pallas.attention import attention_key_mass
+
+    cfg = model.config
+    assert cfg.norm_fn == "in"
+    assert cfg.train_compaction, "needs cfg.train_compaction"
+    interpret = _interpret()
+    compute_dtype = model.compute_dtype
+
+    gt = data["matching_mask"].astype(jnp.float32)
+    epi = maybe_epipolar_matrix(data, cfg.geo_clamp) if cfg.with_geo else None
+    p, mscore_th, uncertainty_ratio = 0.2, 0.1, 1.0  # training defaults
+
+    desc, keep0, keep1, zero_qk, b, n = _eimp_encode(model, stacked, data)
+
+    per_it_full = {
+        "self": stacked["self"], "cross": stacked["cross"],
+        "final_w": stacked["final_w"], "final_b": stacked["final_b"],
+        "do_pool": _eimp_do_pool(cfg),
+        "use_masked": jnp.asarray(
+            [1.0 if ni >= cfg.first_it_to_update else 0.0
+             for ni in range(cfg.n_layers)], jnp.float32)}
+
+    schedule = sorted((int(it), int(k)) for it, k in cfg.train_compaction)
+    assert all(0 < it < cfg.n_layers for it, _ in schedule), schedule
+    bounds = [0] + [it for it, _ in schedule] + [cfg.n_layers]
+    buckets = [n] + [k for _, k in schedule]
+    assert all(buckets[i] >= buckets[i + 1] for i in range(len(buckets) - 1)), \
+        ("compaction buckets must be non-increasing", buckets)
+
+    def make_body(gt_seg, epi_seg, full0, full1):
+        full = jnp.concatenate([full0, full1], axis=0)
+        bsz = full0.shape[0]
+
+        def swap(x):
+            return jnp.concatenate([x[bsz:], x[:bsz]], axis=0)
+
+        n_seg = full0.shape[1]
+        block_q = cfg.attn_block_q or (n_seg if n_seg <= 1024 else None)
+
+        def body(carry, it):
+            desc, qk_self, qk_cross, keep0, keep1, terms = carry
+            keep = jnp.concatenate([keep0, keep1], axis=0)
+            keep_swap = jnp.concatenate([keep1, keep0], axis=0)
+
+            delta, qk_self = _attn_block(
+                it["self"], desc, desc, qk_self, keep, full,
+                cfg.num_heads, cfg.ac_fn, compute_dtype, interpret,
+                block_q=block_q)
+            desc = desc + delta
+            delta, qk_cross = _attn_block(
+                it["cross"], desc, swap(desc), qk_cross, keep_swap, full,
+                cfg.num_heads, cfg.ac_fn, compute_dtype, interpret,
+                block_q=block_q)
+            desc = desc + delta
+
+            pl = {"final_proj": [{"w": it["final_w"], "b": it["final_b"]}],
+                  "bin_score": stacked["bin_score"]}
+            d0, d1 = desc[:b].astype(jnp.float32), desc[b:].astype(jnp.float32)
+            dist = model.compute_distance(pl, d0, d1, layer_id=-1)
+            score = model.compute_score(pl, dist, keep0, keep1)
+
+            gt_used = jnp.where(it["use_masked"] > 0.5,
+                                _masked_gt(gt_seg, keep0, keep1), gt_seg)
+            t = graph_loss(score, gt_used, scores_are_log=model.scores_are_log)
+            if epi_seg is not None:
+                prob = jnp.exp(score) if model.scores_are_log else score
+                t["geo"] = geo_loss(prob, epi_seg, keep0, keep1)
+            terms = jax.tree.map(jnp.add, terms, t)
+
+            idx0, _, ms0, _ = model.compute_matches(score, p=p, valid0=keep0,
+                                                    valid1=keep1)
+
+            def pool(operands):
+                qk_self, qk_cross, keep0, keep1, score = operands
+                keep = jnp.concatenate([keep0, keep1], axis=0)
+                keep_swap = jnp.concatenate([keep1, keep0], axis=0)
+                m_self = attention_key_mass(qk_self["q"], qk_self["k"],
+                                            keep, full, interpret=interpret)
+                m_cross = attention_key_mass(qk_cross["q"], qk_cross["k"],
+                                             keep_swap, full,
+                                             interpret=interpret)
+                norm = lambda m: m / (jnp.sum(m, axis=1, keepdims=True) + 1e-15)
+                n00, n11 = norm(m_self[:b]), norm(m_self[b:])
+                n10, n01 = norm(m_cross[:b]), norm(m_cross[b:])
+                inner = score[:, :-1, :-1]
+                return model._pool_from_masses(
+                    jnp.sum(inner, axis=2), jnp.sum(inner, axis=1),
+                    n00, n01, n11, n10, keep0, keep1,
+                    mscore_th * uncertainty_ratio, cfg.n_min_tokens)
+
+            keep0, keep1 = jax.lax.cond(
+                it["do_pool"] > 0.5, pool, lambda op: (op[2], op[3]),
+                (jax.lax.stop_gradient(qk_self),
+                 jax.lax.stop_gradient(qk_cross),
+                 keep0, keep1, jax.lax.stop_gradient(score)))
+
+            return (desc, qk_self, qk_cross, keep0, keep1, terms), (idx0, ms0)
+
+        return body
+
+    z = jnp.zeros(())
+    terms = {"corr": z, "incorr": z, "neg": z}
+    if epi is not None:
+        terms["geo"] = z
+
+    g0 = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[None], (b, n))
+    g1 = g0
+    qk_self = qk_cross = zero_qk
+    full0, full1 = keep0, keep1
+    gt_seg, epi_seg = gt, epi
+    overflow0 = jnp.zeros((b,), jnp.int32)
+    overflow1 = jnp.zeros((b,), jnp.int32)
+    outs = []  # (idx_orig [B, n], ms_orig [B, n]) per iteration
+    for si in range(len(bounds) - 1):
+        if si > 0:
+            k = buckets[si]
+            overflow0 += jnp.maximum(jnp.sum(keep0, axis=1) - k, 0).astype(jnp.int32)
+            overflow1 += jnp.maximum(jnp.sum(keep1, axis=1) - k, 0).astype(jnp.int32)
+            i0 = _stable_topk_indices(keep0, k)
+            i1 = _stable_topk_indices(keep1, k)
+            desc, qk_self, qk_cross, keep0, keep1, g0, g1 = _compact_gather(
+                desc, qk_self, qk_cross, keep0, keep1, g0, g1, b, k,
+                i0=i0, i1=i1)
+            gt_seg = _gather_gt(gt_seg, i0, i1)
+            if epi_seg is not None:
+                e = jnp.take_along_axis(epi_seg, i0[:, :, None], axis=1)
+                epi_seg = jnp.take_along_axis(e, i1[:, None, :], axis=2)
+            full0, full1 = keep0, keep1
+        per_it = jax.tree.map(lambda x: x[bounds[si]:bounds[si + 1]],
+                              per_it_full)
+        body = make_body(gt_seg, epi_seg, full0, full1)
+        body_ckpt = _remat(body, "attn" if cfg.train_remat == "attn_head"
+                           else cfg.train_remat)
+        carry = (desc, qk_self, qk_cross, keep0, keep1, terms)
+        (desc, qk_self, qk_cross, keep0, keep1, terms), (idx0s, ms0s) = \
+            jax.lax.scan(body_ckpt, carry, per_it)
+        for j in range(bounds[si + 1] - bounds[si]):
+            outs.append(_scatter_matches(idx0s[j], ms0s[j], g0, g1, n))
+
+    n_it = cfg.n_layers
+    terms = jax.tree.map(lambda x: x / n_it, terms)
+    matching_loss = terms["corr"] + terms["incorr"] + terms["neg"]
+    loss = matching_loss
+    if epi is not None:
+        loss = loss + cfg.geo_weight * terms["geo"]
+
+    # accuracy in ORIGINAL indexing vs the full GT, averaged over all
+    # iterations — the same metric definition as the masked trainer (a
+    # discarded token whose GT match is lost counts against acc_corr)
+    accs = [matching_accuracy(idx, gt) for idx, _ in outs]
+    acc = jax.tree.map(lambda *xs: sum(xs) / len(xs), *accs)
+    last_idx0, last_ms0 = outs[-1]
+    return {
+        "loss": loss,
+        "matching_loss": matching_loss,
+        "matching_loss_corr": terms["corr"],
+        "matching_loss_incorr": terms["incorr"],
+        "matching_loss_neg": terms["neg"],
+        "geo_loss": terms.get("geo", jnp.zeros(())),
+        "matching_scores0": last_ms0,
+        "matches0": last_idx0,
+        "compaction_overflow0": jnp.sum(overflow0).astype(jnp.float32),
+        "compaction_overflow1": jnp.sum(overflow1).astype(jnp.float32),
         **acc,
     }

@@ -74,6 +74,12 @@ parser.add_argument("--train_remat", type=str, default="full",
                              "none"],
                     help="remat policy for the training layer scan "
                          "(see MatcherConfig.train_remat)")
+parser.add_argument("--train_compaction", type=str, default="",
+                    help="EIMP training bucket-compaction schedule "
+                         "'it:bucket,it:bucket,...' (adagmn only; physically "
+                         "drops pooled tokens during training — sliced "
+                         "semantics, real FLOP savings; '' = the reference's "
+                         "masked trainer)")
 parser.add_argument("--attn_block_q", type=int, default=0,
                     help="fused-attention q-block override (0 = automatic: "
                          "full-N single block when max_keypoints <= 1024, "
@@ -90,6 +96,7 @@ parser.add_argument("--model_parallel", type=int, default=1,
 
 
 def build_model(args):
+    from impx.eval.eval_imp import parse_compaction
     from impx.models import MatcherConfig, GM, DGNNS, AdaGMN
 
     cfg = MatcherConfig(
@@ -109,6 +116,7 @@ def build_model(args):
         log_ot=args.log_ot,
         train_remat=args.train_remat,
         attn_block_q=args.attn_block_q or None,
+        train_compaction=parse_compaction(args.train_compaction),
     )
     return {"gm": GM, "dgnns": DGNNS, "adagmn": AdaGMN}[args.network](cfg)
 

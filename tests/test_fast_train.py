@@ -112,3 +112,67 @@ def test_eimp_forward_train_scan_matches_unrolled():
     for a, b in zip(jax.tree.leaves(g_xla), jax.tree.leaves(g_pl)):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=5e-3, atol=1e-5)
+
+
+def _adagmn(n_layers=6, train_compaction=(), nfeat=48, n_min_tokens=8,
+            first_it=2):
+    from impx.models import AdaGMN
+    cfg = MatcherConfig(
+        descriptor_dim=32, keypoint_encoder=(16, 32), n_layers=n_layers,
+        sinkhorn_iterations=10, norm_fn="in", attn_impl="pallas",
+        n_min_tokens=n_min_tokens, first_it_to_update=first_it,
+        train_compaction=train_compaction)
+    return AdaGMN(cfg)
+
+
+def test_eimp_train_compaction_identity_exact():
+    """A gather into a bucket of size n BEFORE any pooling has fired is an
+    identity reorder, so the compacted trainer must reproduce the masked
+    trainer exactly — loss, every metric, and every gradient — through all
+    later pooling iterations (the segmentation/gt-gather/scatter machinery
+    adds nothing numerically)."""
+    nfeat = 48
+    m_mask = _adagmn(nfeat=nfeat)
+    m_comp = _adagmn(nfeat=nfeat, train_compaction=((1, nfeat),))
+    params = m_mask.init(jax.random.PRNGKey(0))
+    batch = _batch(nfeat=nfeat)
+
+    out_m = m_mask.forward_train(params, batch, train=True)
+    out_c = m_comp.forward_train(params, batch, train=True)
+    np.testing.assert_allclose(float(out_c["loss"]), float(out_m["loss"]),
+                               rtol=1e-6)
+    for k in ("matching_loss", "acc_corr", "acc_incorr", "total_acc_corr"):
+        np.testing.assert_allclose(float(out_c[k]), float(out_m[k]),
+                                   rtol=1e-6, err_msg=k)
+    np.testing.assert_array_equal(np.asarray(out_c["matches0"]),
+                                  np.asarray(out_m["matches0"]))
+    assert float(out_c["compaction_overflow0"]) == 0
+    assert float(out_c["compaction_overflow1"]) == 0
+
+    g_m = jax.grad(lambda p: m_mask.forward_train(p, batch, train=True)["loss"])(params)
+    g_c = jax.grad(lambda p: m_comp.forward_train(p, batch, train=True)["loss"])(params)
+    for a, b in zip(jax.tree.leaves(g_m), jax.tree.leaves(g_c)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-5, atol=1e-7)
+
+
+def test_eimp_train_compaction_shrink_runs():
+    """Real shrinking buckets: the compacted trainer must produce finite
+    loss/grads, full-size original-indexing outputs, and report overflow as
+    a number (the sliced semantics is a deliberate departure from the masked
+    trainer, so no equality here)."""
+    nfeat = 48
+    m = _adagmn(nfeat=nfeat, train_compaction=((2, 24), (4, 16)),
+                n_min_tokens=4)
+    params = m.init(jax.random.PRNGKey(1))
+    batch = _batch(nfeat=nfeat)
+
+    out = m.forward_train(params, batch, train=True)
+    assert np.isfinite(float(out["loss"]))
+    assert out["matches0"].shape == (4, nfeat)
+    assert out["matching_scores0"].shape == (4, nfeat)
+    assert np.isfinite(float(out["compaction_overflow0"]))
+
+    g = jax.grad(lambda p: m.forward_train(p, batch, train=True)["loss"])(params)
+    for leaf in jax.tree.leaves(g):
+        assert np.isfinite(np.asarray(leaf)).all()
