@@ -35,15 +35,33 @@ def chunk_urls(file_name: str, start: int, end: int,
             for i in range(start, end + 1)]
 
 
-def fetch(url: str, dest: str, blocksize: int = 1 << 20) -> None:
-    tmp = dest + ".part"
-    with urllib.request.urlopen(url) as r, open(tmp, "wb") as f:
-        while True:
-            block = r.read(blocksize)
-            if not block:
-                break
-            f.write(block)
-    os.replace(tmp, dest)
+def fetch(url: str, dest: str, blocksize: int = 1 << 20,
+          timeout: float = 60.0, retries: int = 3) -> None:
+    """Fetch one chunk with a socket timeout and bounded per-chunk retries.
+
+    The mirror protocol is plain HTTP with no published checksums (same as
+    the reference's download_data.sh), so integrity is only guarded by the
+    tar extraction step downstream.
+    """
+    last_err: Exception | None = None
+    for attempt in range(retries):
+        tmp = dest + ".part"
+        try:
+            with urllib.request.urlopen(url, timeout=timeout) as r, \
+                    open(tmp, "wb") as f:
+                while True:
+                    block = r.read(blocksize)
+                    if not block:
+                        break
+                    f.write(block)
+            os.replace(tmp, dest)
+            return
+        except OSError as e:  # covers socket timeouts + HTTP/URL errors
+            last_err = e
+            print(f"[download] {url}: attempt {attempt + 1}/{retries} "
+                  f"failed ({e})", file=sys.stderr)
+    raise RuntimeError(f"failed to fetch {url} after {retries} attempts") \
+        from last_err
 
 
 def main(argv=None):

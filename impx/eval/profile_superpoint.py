@@ -20,7 +20,7 @@ import jax.numpy as jnp
 from impx.models import superpoint as sp
 
 
-def _timed(name, fn, batch, K, n_out_divisor):
+def _timed(name, fn, batch, K):
     @jax.jit
     def run(seed):
         def body(acc, k):
@@ -76,11 +76,11 @@ def main():
                 + jnp.sum(f["keypoints"]) + jnp.sum(f["valid"]))
 
     t_bb = _timed("backbone (convs+softmax+norm)", backbone_only,
-                  args.batch, args.K, 1)
-    t_nms = _timed("+ simple_nms(r=4)", plus_nms, args.batch, args.K, 1)
+                  args.batch, args.K)
+    t_nms = _timed("+ simple_nms(r=4)", plus_nms, args.batch, args.K)
     t_topk = _timed("+ border + top_k(307200->1024)", plus_topk,
-                    args.batch, args.K, 1)
-    t_full = _timed("+ descriptor sampling (full)", full, args.batch, args.K, 1)
+                    args.batch, args.K)
+    t_full = _timed("+ descriptor sampling (full)", full, args.batch, args.K)
     print(f"\nstage attribution: backbone {t_bb:.3f} | nms {t_nms - t_bb:.3f}"
           f" | topk {t_topk - t_nms:.3f} | sample {t_full - t_topk:.3f}"
           f"  (ms/image)")

@@ -283,6 +283,15 @@ class AdaGMN(DGNNS):
             if self.config.train_compaction:
                 return forward_train_scan_eimp_compact(self, stacked, data)
             return forward_train_scan_eimp(self, stacked, data)
+        if self.config.train_compaction:
+            # a compaction schedule only exists on the scan fast path; falling
+            # through silently would train the full-size masked objective the
+            # user explicitly configured away from
+            raise ValueError(
+                "cfg.train_compaction requires attn_impl='pallas', "
+                "norm_fn='in' and log_ot=False (got attn_impl="
+                f"{self.config.attn_impl!r}, norm_fn={self.config.norm_fn!r}, "
+                f"log_ot={self.config.log_ot})")
         gt = data["matching_mask"]
         all_scores, all_idx0, all_ms0, total, _ = self._iterate(
             params, data, p=0.2, mscore_th=0.1, uncertainty_ratio=1.0,

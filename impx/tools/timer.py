@@ -1,42 +1,93 @@
-"""Section timing utility (reference tools/utils.py:64-103 `AverageTimer`):
-smoothed per-section wall-clock with FPS printout, for host-side pipeline
-stages. Device-side profiling should use jax.profiler traces instead."""
+"""Section timing for host-side pipeline stages.
+
+Serves the role of the reference's wall-clock section timer
+(tools/utils.py:64-103): named sections, exponentially smoothed durations,
+one-line throughput report. Original implementation — sections are context
+managers (or explicit mark() calls), the smoothed estimate tracks a running
+(ema, n) pair per section, and the report is built as a string so callers
+can route it to logging instead of stdout. Device-side profiling should use
+jax.profiler traces (impx/tools/profiling.py) instead.
+"""
 from __future__ import annotations
 
+import contextlib
 import time
-from collections import OrderedDict
+
+
+class _Section:
+    __slots__ = ("ema", "n", "fresh")
+
+    def __init__(self):
+        self.ema = 0.0
+        self.n = 0
+        self.fresh = False
+
+    def add(self, dt: float, alpha: float):
+        self.ema = dt if self.n == 0 else alpha * dt + (1.0 - alpha) * self.ema
+        self.n += 1
+        self.fresh = True
 
 
 class AverageTimer:
+    """Exponentially-smoothed per-section wall clock.
+
+    Usage (either style)::
+
+        t = AverageTimer()
+        with t.section("read"):
+            ...
+        t.mark("match")          # time since the previous mark/section end
+        print(t.report("loop"))  # or t.print("loop")
+    """
+
     def __init__(self, smoothing: float = 0.3, newline: bool = False):
-        self.smoothing = smoothing
+        self.alpha = float(smoothing)
         self.newline = newline
-        self.times: "OrderedDict[str, float]" = OrderedDict()
-        self.will_print: "OrderedDict[str, bool]" = OrderedDict()
-        self.reset()
+        self._sections: dict[str, _Section] = {}
+        self._t0 = time.perf_counter()
 
     def reset(self):
-        self.start = time.time()
-        self.last_time = self.start
-        for name in self.will_print:
-            self.will_print[name] = False
+        self._t0 = time.perf_counter()
+        for s in self._sections.values():
+            s.fresh = False
 
-    def update(self, name: str = "default"):
-        now = time.time()
-        dt = now - self.last_time
-        if name in self.times:
-            dt = self.smoothing * dt + (1 - self.smoothing) * self.times[name]
-        self.times[name] = dt
-        self.will_print[name] = True
-        self.last_time = now
+    @contextlib.contextmanager
+    def section(self, name: str):
+        begin = time.perf_counter()
+        try:
+            yield
+        finally:
+            end = time.perf_counter()
+            self._record(name, end - begin)
+            self._t0 = end
+
+    def mark(self, name: str = "default"):
+        now = time.perf_counter()
+        self._record(name, now - self._t0)
+        self._t0 = now
+
+    # reference-compatible spelling
+    update = mark
+
+    def _record(self, name: str, dt: float):
+        sec = self._sections.get(name)
+        if sec is None:
+            sec = self._sections[name] = _Section()
+        sec.add(dt, self.alpha)
+
+    def report(self, label: str = "Timer") -> str:
+        parts = [f"[{label}]"]
+        total = 0.0
+        for name, sec in self._sections.items():
+            if not sec.fresh:
+                continue
+            parts.append(f"{name}={sec.ema:.3f}")
+            total += sec.ema
+        fps = 1.0 / total if total > 0 else float("inf")
+        parts.append(f"total={total:.3f} sec {fps:.1f} FPS")
+        return " ".join(parts)
 
     def print(self, text: str = "Timer"):
-        total = 0.0
-        print(f"[{text}]", end=" ")
-        for key in self.times:
-            if self.will_print.get(key):
-                print(f"{key}={self.times[key]:.3f}", end=" ")
-                total += self.times[key]
-        print(f"total={total:.3f} sec {1.0 / max(total, 1e-9):.1f} FPS",
-              end="\n" if self.newline else "\r", flush=True)
+        print(self.report(text), end="\n" if self.newline else "\r",
+              flush=True)
         self.reset()
