@@ -74,6 +74,15 @@ class MatcherConfig:
     # 'attn_dots' saves both the attention outputs AND all MXU outputs,
     # 'none' stores everything (only viable at small batch/N)
     train_remat: str = "full"
+    # training fast path: run each attentional-propagation layer as ONE
+    # custom-VJP op (impx/models/fast.py `_make_fused_layer`) that stores
+    # exactly (x, q_used, k_used, attention out, row lse) and whose backward
+    # (a) never replays the forward, (b) rebuilds softmax probs in one exp
+    # pass from the saved lse, (c) runs every backward matmul in the
+    # activation stream's dtype. Supersedes train_remat for the layer part
+    # (the score head + loss stay under full remat). Needs
+    # attn_impl='pallas' + norm_fn='in'.
+    train_fused: bool = False
     # q-block size for the fused attention kernel (None = kernel default 256
     # on the eval paths; the TRAINING scan picks the full keypoint count when
     # N <= 1024 — measured +3% at the published training config: a single

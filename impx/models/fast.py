@@ -26,6 +26,7 @@ has a custom VJP; the scan body is rematerialized).
 """
 from __future__ import annotations
 
+import functools
 from typing import Any
 
 import jax
@@ -95,6 +96,27 @@ def _merge_heads(p, x):
     return jnp.einsum("bhnd,dho->bno", x, w.astype(x.dtype)) + p["b"].astype(x.dtype)
 
 
+def _tail(L, x, out, query_mask, ac_fn):
+    """Post-attention tail of an attentional-propagation layer: head merge,
+    concat-MLP with fp32 masked InstanceNorm, activation. Shared verbatim by
+    the autodiff path (_attn_block) and the custom-VJP fused layer (both
+    directions of _make_fused_layer), so the two paths can never diverge."""
+    message = _merge_heads(L["merge"], out.astype(x.dtype))
+
+    y = jnp.concatenate([x, message], axis=-1)
+    h = jnp.einsum("bnc,cd->bnd", y, L["mlp0"]["w"].astype(y.dtype)) + \
+        L["mlp0"]["b"].astype(y.dtype)
+    h = instance_norm(h.astype(jnp.float32), mask=query_mask).astype(y.dtype)
+    if ac_fn == "relu":
+        h = jax.nn.relu(h)
+    elif ac_fn == "gelu":
+        h = jax.nn.gelu(h, approximate=False)
+    else:
+        h = jax.nn.leaky_relu(h, negative_slope=0.1)
+    return jnp.einsum("bnc,cd->bnd", h, L["mlp1"]["w"].astype(h.dtype)) + \
+        L["mlp1"]["b"].astype(h.dtype)
+
+
 def _attn_block(L, x, source, qk_carry, key_mask, query_mask, num_heads, ac_fn,
                 compute_dtype, interpret, block_q=None):
     """One attentional-propagation layer on the stacked batch. Returns
@@ -118,21 +140,115 @@ def _attn_block(L, x, source, qk_carry, key_mask, query_mask, num_heads, ac_fn,
     # the fused kernel (the priciest VPU work in the body); a no-op outside
     # remat and under the other policies
     out = checkpoint_name(out, "attn_out")
-    message = _merge_heads(L["merge"], out.astype(x.dtype))
-
-    y = jnp.concatenate([x, message], axis=-1)
-    h = jnp.einsum("bnc,cd->bnd", y, L["mlp0"]["w"].astype(y.dtype)) + \
-        L["mlp0"]["b"].astype(y.dtype)
-    h = instance_norm(h.astype(jnp.float32), mask=query_mask).astype(y.dtype)
-    if ac_fn == "relu":
-        h = jax.nn.relu(h)
-    elif ac_fn == "gelu":
-        h = jax.nn.gelu(h, approximate=False)
-    else:
-        h = jax.nn.leaky_relu(h, negative_slope=0.1)
-    delta = jnp.einsum("bnc,cd->bnd", h, L["mlp1"]["w"].astype(h.dtype)) + \
-        L["mlp1"]["b"].astype(h.dtype)
+    delta = _tail(L, x, out, query_mask, ac_fn)
     return delta, {"q": q_used, "k": k_used}
+
+
+def _swap_half(x):
+    """Swap the two image halves of the stacked batch [2B, ...]."""
+    b = x.shape[0] // 2
+    return jnp.concatenate([x[b:], x[:b]], axis=0)
+
+
+@functools.lru_cache(maxsize=None)
+def _make_fused_layer(is_self: bool, num_heads: int, ac_fn: str,
+                      block_q: int, interpret: bool):
+    """Whole attentional-propagation layer as ONE custom-VJP op (the training
+    fast path, cfg.train_fused).
+
+    Why: under jax.checkpoint the backward pass replays the entire scan body
+    and runs the attention backward kernel with fp32 matmul inputs — measured
+    step MFU 19% (STATUS.md round-4 roofline). This op instead defines its own
+    residuals — (x, q_used, k_used, attention out, row log-sum-exp) — so the
+    backward (a) never replays the forward, (b) rebuilds softmax probabilities
+    in one exp pass from the saved lse, and (c) runs every backward matmul
+    with activation-stream-dtype inputs (bf16 under bf16 training). The
+    projection/merge/MLP backward reuses the EXACT forward code via jax.vjp
+    on the shared `head_fn`/`_tail` subfunctions, so only the attention-core
+    backward math is hand-written (impx/ops/pallas/attention.py
+    `mha_bwd_from_lse`).
+
+    Signature of the returned op:
+        layer(x, carry_q, carry_k, L, key_mask_f, in_mask_f)
+            -> (new_x, q_used, k_used)
+    with x [2B,N,D]; carries [2B,H,N,dh]; masks FLOAT [2B,N] (custom_vjp
+    needs float cotangents). For cross layers (is_self=False) the attention
+    source is the swapped stack, recomputed from x in the backward.
+    Matches the hot loop of reference trainer.py:102-150 / gms.py:48-137.
+    """
+    from impx.ops.pallas.attention import mha_bwd_from_lse, mha_fused_lse
+
+    def head_fn(x, Lq, Lk, Lv):
+        source = x if is_self else _swap_half(x)
+        q_new = _proj_heads(Lq, x, num_heads)
+        k_new = _proj_heads(Lk, source, num_heads)
+        v = _proj_heads(Lv, source, num_heads)
+        return q_new, k_new, v
+
+    def fwd_impl(x, cq, ck, L, key_mask, in_mask):
+        q_new, k_new, v = head_fn(x, L["q"], L["k"], L["v"])
+        shared = L["shared"] > 0.5
+        q_used = jnp.where(shared, cq, q_new)
+        k_used = jnp.where(shared, ck, k_new)
+        o, lse = mha_fused_lse(q_used, k_used, v, key_mask,
+                               block_q=block_q, interpret=interpret)
+        delta = _tail(L, x, o, in_mask, ac_fn)
+        return x + delta, q_used, k_used, o, lse
+
+    @jax.custom_vjp
+    def layer(x, cq, ck, L, key_mask, in_mask):
+        out_x, q_used, k_used, _, _ = fwd_impl(x, cq, ck, L, key_mask, in_mask)
+        return out_x, q_used, k_used
+
+    def layer_fwd(x, cq, ck, L, key_mask, in_mask):
+        out_x, q_used, k_used, o, lse = fwd_impl(x, cq, ck, L, key_mask,
+                                                 in_mask)
+        return (out_x, q_used, k_used), (x, q_used, k_used, o, lse, L,
+                                         key_mask, in_mask)
+
+    def layer_bwd(res, cts):
+        x, q_used, k_used, o, lse, L, key_mask, in_mask = res
+        d_out, d_cq_out, d_ck_out = cts
+
+        # tail backward: exact-forward-code vjp (merge + concat-MLP + IN)
+        Lt = {"merge": L["merge"], "mlp0": L["mlp0"], "mlp1": L["mlp1"]}
+        tail_closed = lambda Lt_, x_, o_: _tail(Lt_, x_, o_, in_mask, ac_fn)
+        _, tail_vjp = jax.vjp(tail_closed, Lt, x, o)
+        dLt, dx_tail, do = tail_vjp(d_out)
+
+        # attention-core backward from the saved (o, lse); v recomputed
+        # (one einsum) instead of stored
+        source = x if is_self else _swap_half(x)
+        v = _proj_heads(L["v"], source, num_heads)
+        dq_a, dk_a, dv = mha_bwd_from_lse(q_used, k_used, v, key_mask, lse, o,
+                                          do, block_q=block_q,
+                                          interpret=interpret)
+
+        # q_used/k_used feed both the attention AND the next shared layer
+        # (the carry outputs) — sum the two cotangent sources, then route
+        # through the select: shared layers propagate to the carry, fresh
+        # layers to the projections
+        dq_tot = (dq_a + d_cq_out).astype(q_used.dtype)
+        dk_tot = (dk_a + d_ck_out).astype(k_used.dtype)
+        shared = L["shared"] > 0.5
+        zq = jnp.zeros_like(dq_tot)
+        dq_new = jnp.where(shared, zq, dq_tot)
+        d_cq = jnp.where(shared, dq_tot, zq)
+        dk_new = jnp.where(shared, zq, dk_tot)
+        d_ck = jnp.where(shared, dk_tot, zq)
+
+        _, head_vjp = jax.vjp(head_fn, x, L["q"], L["k"], L["v"])
+        dx_head, dLq, dLk, dLv = head_vjp((dq_new, dk_new, dv))
+
+        dx = (d_out + dx_tail + dx_head).astype(x.dtype)
+        dL = {"q": dLq, "k": dLk, "v": dLv, "merge": dLt["merge"],
+              "mlp0": dLt["mlp0"], "mlp1": dLt["mlp1"],
+              "shared": jnp.zeros_like(L["shared"])}
+        return (dx, d_cq, d_ck, dL, jnp.zeros_like(key_mask),
+                jnp.zeros_like(in_mask))
+
+    layer.defvjp(layer_fwd, layer_bwd)
+    return layer
 
 
 def final_matches_from_desc(model, stacked, desc, b, valid0, valid1, p,
@@ -296,7 +412,10 @@ def _remat(fn, mode: str):
             policy=jax.checkpoint_policies.save_from_both_policies(
                 jax.checkpoint_policies.dots_saveable,
                 jax.checkpoint_policies.save_only_these_names("attn_out")))
-    return jax.checkpoint(fn, prevent_cse=False)
+    if mode == "full":
+        return jax.checkpoint(fn, prevent_cse=False)
+    raise ValueError(f"unknown train_remat mode {mode!r} (expected 'none', "
+                     "'full', 'dots', 'attn', 'attn_head' or 'attn_dots')")
 
 
 def forward_train_scan(model, stacked: dict, data: dict[str, Any]):
@@ -383,7 +502,30 @@ def forward_train_scan(model, stacked: dict, data: dict[str, Any]):
     # plans + MLP intermediates (>4 GB at batch 16 / N 1024) blows HBM;
     # recompute costs ~1.3x forward time instead. cfg.train_remat picks the
     # policy ('full' | 'dots' | 'attn' | 'attn_head' | 'none' — MatcherConfig).
-    if cfg.train_remat == "attn_head":
+    if cfg.train_fused:
+        # custom-VJP fused layers: each layer op stores exactly
+        # (x, q_used, k_used, attn out, lse) and its backward neither replays
+        # the body nor runs any fp32 MXU pass; only the score head + loss
+        # stay under full remat
+        bq = block_q or 256
+        layer_self = _make_fused_layer(True, h, cfg.ac_fn, bq, interpret)
+        layer_cross = _make_fused_layer(False, h, cfg.ac_fn, bq, interpret)
+        mask_f = mask.astype(jnp.float32)
+        mask_swap_f = mask_swap.astype(jnp.float32)
+        head_ckpt = jax.checkpoint(head_part, prevent_cse=False)
+
+        def body_fused(carry, per_it):
+            desc, qk_self, qk_cross, terms, _ = carry
+            desc, qs, ks = layer_self(desc, qk_self["q"], qk_self["k"],
+                                      per_it["self"], mask_f, mask_f)
+            desc, qc, kc = layer_cross(desc, qk_cross["q"], qk_cross["k"],
+                                       per_it["cross"], mask_swap_f, mask_f)
+            terms, score = head_ckpt(desc, per_it, terms)
+            return (desc, {"q": qs, "k": ks}, {"q": qc, "k": kc}, terms,
+                    score), None
+
+        body_ckpt = body_fused
+    elif cfg.train_remat == "attn_head":
         # remat ONLY the attention blocks (kernel outputs saved by name); the
         # score head + loss stay OUTSIDE the remat region so the Sinkhorn
         # custom-VJP residuals (per-sweep u/v history) are stored once
@@ -728,6 +870,9 @@ def forward_scan_eimp_compact(
 
     schedule = sorted((int(it), int(k)) for it, k in cfg.compaction)
     assert all(0 < it < cfg.n_layers for it, _ in schedule), schedule
+    assert all(schedule[i][0] < schedule[i + 1][0]
+               for i in range(len(schedule) - 1)), \
+        ("compaction iterations must be distinct", schedule)
     bounds = [0] + [it for it, _ in schedule] + [cfg.n_layers]
     buckets = [n] + [k for _, k in schedule]
     assert all(buckets[i] >= buckets[i + 1] for i in range(len(buckets) - 1)), \
@@ -975,6 +1120,9 @@ def forward_train_scan_eimp_compact(model, stacked: dict, data: dict[str, Any]):
 
     schedule = sorted((int(it), int(k)) for it, k in cfg.train_compaction)
     assert all(0 < it < cfg.n_layers for it, _ in schedule), schedule
+    assert all(schedule[i][0] < schedule[i + 1][0]
+               for i in range(len(schedule) - 1)), \
+        ("train_compaction iterations must be distinct", schedule)
     bounds = [0] + [it for it, _ in schedule] + [cfg.n_layers]
     buckets = [n] + [k for _, k in schedule]
     assert all(buckets[i] >= buckets[i + 1] for i in range(len(buckets) - 1)), \

@@ -192,6 +192,172 @@ def mha_fused(q, k, v, key_mask=None, block_q: int = 256, interpret: bool = Fals
     return _mha(q, k, v, key_mask3, block_q, interpret)
 
 
+def _attn_kernel_lse(q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref, *,
+                     scale: float):
+    """Forward attention that additionally emits the row log-sum-exp — the
+    residual the lse-based backward kernel needs to rebuild softmax
+    probabilities in a single exp pass (instead of max+exp+sum+div)."""
+    q = q_ref[0, 0]  # [bq, dh]
+    k = k_ref[0, 0]  # [Nk, dh]
+    v = v_ref[0, 0]  # [Nk, dh]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+    mask = mask_ref[0, 0]
+    s = jnp.where(mask[None, :] > 0, s, NEG)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s - m)
+    l = jnp.sum(e, axis=-1, keepdims=True)
+    o = jax.lax.dot_general(
+        e.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    o_ref[0, 0] = (o / l).astype(o_ref.dtype)
+    lse_ref[0, 0] = m + jnp.log(l)  # [bq, 1]
+
+
+def mha_fused_lse(q, k, v, key_mask=None, block_q: int = 256,
+                  interpret: bool = False):
+    """Like `mha_fused` but returns (out, lse) with lse [B,H,Nq,1] fp32.
+
+    NOT differentiable by itself — this is the forward half of the fused
+    training layer (impx/models/fast.py `_make_fused_layer`), whose custom
+    VJP calls `mha_bwd_from_lse` with the saved (out, lse) residuals."""
+    b, h, nq, dh = q.shape
+    nk = k.shape[2]
+    block_q = min(block_q, nq)
+    assert nq % block_q == 0, (nq, block_q)
+    if key_mask is None:
+        key_mask3 = jnp.ones((b, 1, nk), jnp.float32)
+    else:
+        key_mask3 = key_mask.astype(jnp.float32).reshape(b, 1, nk)
+    scale = 1.0 / (dh ** 0.5)
+    grid = (b, h, nq // block_q)
+    return pl.pallas_call(
+        functools.partial(_attn_kernel_lse, scale=scale),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, block_q, dh), lambda bi, hi, qi: (bi, hi, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, nk, dh), lambda bi, hi, qi: (bi, hi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, nk, dh), lambda bi, hi, qi: (bi, hi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, nk), lambda bi, hi, qi: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, block_q, dh), lambda bi, hi, qi: (bi, hi, qi, 0),
+                         memory_space=pltpu.VMEM),
+            # lse carries a trailing singleton: Mosaic requires the last two
+            # block dims be (8,128)-divisible or equal to the array dims
+            pl.BlockSpec((1, 1, block_q, 1), lambda bi, hi, qi: (bi, hi, qi, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, h, nq, dh), q.dtype),
+            jax.ShapeDtypeStruct((b, h, nq, 1), jnp.float32),
+        ],
+        interpret=interpret,
+    )(q, k, v, key_mask3)
+
+
+def _attn_bwd_lse_kernel(q_ref, k_ref, v_ref, mask_ref, lse_ref, o_ref,
+                         do_ref, dq_ref, dk_ref, dv_ref, *, scale: float):
+    """LSE-based flash backward. vs `_attn_bwd_kernel`: (a) probabilities are
+    rebuilt with ONE exp pass from the saved row log-sum-exp, (b) the softmax
+    Jacobian's row term uses the flash identity rowsum(dp*p) == rowsum(do*o)
+    (exact: p@v == o), (c) every matmul runs with inputs in the activation
+    stream's dtype (bf16 under bf16 training — fp32 MXU passes are ~4x
+    slower), accumulating fp32."""
+    qi = pl.program_id(2)
+    q = q_ref[0, 0]
+    k = k_ref[0, 0]
+    v = v_ref[0, 0]
+    do = do_ref[0, 0]
+    o = o_ref[0, 0]
+    lse = lse_ref[0, 0]  # [bq, 1]
+
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * scale
+    mask = mask_ref[0, 0]
+    s = jnp.where(mask[None, :] > 0, s, NEG)
+    p = jnp.exp(s - lse)  # [bq, Nk] fp32
+    pb = p.astype(q.dtype)
+
+    delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32),
+                    axis=-1, keepdims=True)  # [bq, 1]
+    dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)  # [bq, Nk]
+    ds = (p * (dp - delta) * scale).astype(q.dtype)
+
+    dq_ref[0, 0] = jax.lax.dot_general(
+        ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+
+    @pl.when(qi == 0)
+    def _():
+        dk_ref[0, 0] = jnp.zeros_like(dk_ref[0, 0])
+        dv_ref[0, 0] = jnp.zeros_like(dv_ref[0, 0])
+
+    dv_ref[0, 0] += jax.lax.dot_general(
+        pb, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    dk_ref[0, 0] += jax.lax.dot_general(
+        ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+
+
+def mha_bwd_from_lse(q, k, v, key_mask, lse, o, do, block_q: int = 256,
+                     interpret: bool = False):
+    """Backward of `mha_fused_lse` given the saved (o, lse) residuals.
+    Returns (dq, dk, dv) in q/k/v's dtype."""
+    b, h, nq, dh = q.shape
+    nk = k.shape[2]
+    block_q = min(block_q, nq)
+    assert nq % block_q == 0, (nq, block_q)
+    if key_mask is None:
+        key_mask3 = jnp.ones((b, 1, nk), jnp.float32)
+    else:
+        key_mask3 = key_mask.astype(jnp.float32).reshape(b, 1, nk)
+    scale = 1.0 / (dh ** 0.5)
+    grid = (b, h, nq // block_q)
+    do = do.astype(q.dtype)
+    o = o.astype(q.dtype)
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_attn_bwd_lse_kernel, scale=scale),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, block_q, dh), lambda bi, hi, qi: (bi, hi, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, nk, dh), lambda bi, hi, qi: (bi, hi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, nk, dh), lambda bi, hi, qi: (bi, hi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, nk), lambda bi, hi, qi: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_q, 1), lambda bi, hi, qi: (bi, hi, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_q, dh), lambda bi, hi, qi: (bi, hi, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_q, dh), lambda bi, hi, qi: (bi, hi, qi, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, block_q, dh), lambda bi, hi, qi: (bi, hi, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, nk, dh), lambda bi, hi, qi: (bi, hi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, nk, dh), lambda bi, hi, qi: (bi, hi, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, h, nq, dh), jnp.float32),
+            jax.ShapeDtypeStruct((b, h, nk, dh), jnp.float32),
+            jax.ShapeDtypeStruct((b, h, nk, dh), jnp.float32),
+        ],
+        interpret=interpret,
+    )(q, k, v, key_mask3, lse, o, do)
+    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
+
+
 def _mass_kernel(q_ref, k_ref, mask_ref, qmask_ref, mass_ref, *, scale: float):
     """Accumulate per-key attention mass: sum over heads and valid queries of
     softmax(q k^T) — the EIMP pooling statistic (reference adgm.py:424-432)."""

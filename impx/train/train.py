@@ -74,6 +74,11 @@ parser.add_argument("--train_remat", type=str, default="full",
                              "none"],
                     help="remat policy for the training layer scan "
                          "(see MatcherConfig.train_remat)")
+parser.add_argument("--train_fused", action="store_true",
+                    help="custom-VJP fused training layers (fastest; "
+                         "supersedes --train_remat for the layer part; "
+                         "requires --attn_impl pallas + norm_fn=in — see "
+                         "MatcherConfig.train_fused)")
 parser.add_argument("--train_compaction", type=str, default="",
                     help="EIMP training bucket-compaction schedule "
                          "'it:bucket,it:bucket,...' (adagmn only; physically "
@@ -115,6 +120,7 @@ def build_model(args):
         attn_impl=args.attn_impl,
         log_ot=args.log_ot,
         train_remat=args.train_remat,
+        train_fused=args.train_fused,
         attn_block_q=args.attn_block_q or None,
         train_compaction=parse_compaction(args.train_compaction),
     )

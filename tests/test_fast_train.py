@@ -176,3 +176,51 @@ def test_eimp_train_compaction_shrink_runs():
     g = jax.grad(lambda p: m.forward_train(p, batch, train=True)["loss"])(params)
     for leaf in jax.tree.leaves(g):
         assert np.isfinite(np.asarray(leaf)).all()
+
+
+def test_train_fused_matches_remat_path():
+    """cfg.train_fused (custom-VJP fused layers) vs the jax.checkpoint scan
+    path: the forward is the same op sequence (loss identical); the backward
+    is hand-structured (saved-lse attention backward + jax.vjp over the shared
+    head/tail subfunctions), so grads must agree to fp32 rounding."""
+    base = MatcherConfig(descriptor_dim=32, keypoint_encoder=(16, 32),
+                         n_layers=4, sinkhorn_iterations=10, norm_fn="in",
+                         attn_impl="pallas")
+    fused = dataclasses.replace(base, train_fused=True)
+    m_base, m_fused = DGNNS(base), DGNNS(fused)
+    params = m_base.init(jax.random.PRNGKey(0))
+    batch = _batch()
+
+    out_b = m_base.forward_train(params, batch, train=True)
+    out_f = m_fused.forward_train(params, batch, train=True)
+    np.testing.assert_allclose(float(out_f["loss"]), float(out_b["loss"]),
+                               rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(out_f["matches0"]),
+                                  np.asarray(out_b["matches0"]))
+
+    g_b = jax.grad(lambda p: m_base.forward_train(p, batch, train=True)["loss"])(params)
+    g_f = jax.grad(lambda p: m_fused.forward_train(p, batch, train=True)["loss"])(params)
+    for a, b in zip(jax.tree.leaves(g_b), jax.tree.leaves(g_f)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=2e-3, atol=1e-6)
+
+
+def test_train_fused_learns():
+    from impx.train.step import (TrainHyperParams, make_train_step,
+                                 make_optimizer, init_stats)
+
+    cfg = MatcherConfig(descriptor_dim=32, keypoint_encoder=(16, 32),
+                        n_layers=2, sinkhorn_iterations=10, norm_fn="in",
+                        attn_impl="pallas", train_fused=True)
+    model = DGNNS(cfg)
+    params = model.init(jax.random.PRNGKey(1))
+    hp = TrainHyperParams(lr=5e-4, decay_iter=10_000)
+    step = make_train_step(model, hp, donate=False)
+    opt = make_optimizer(hp).init(params)
+    batch = _batch(n=8)
+    losses = []
+    for it in range(40):
+        params, opt, m, _ = step(params, opt, jnp.asarray(it), batch, init_stats())
+        losses.append(float(m["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0] * 0.8, (losses[0], losses[-1])
