@@ -224,3 +224,71 @@ def test_cv2_checkpoint_backend(trained_model):
     assert n_converged >= 4, f"only {n_converged}/6 pairs converged"
     assert np.median(errs) < 5.0, errs
     assert min(stops) < model.config.n_layers, stops
+
+
+def _queue_feed(rs, n_pairs):
+    feeds, pairs = zip(*[_pair_feed(rs) for _ in range(n_pairs)])
+    queue = {k: jnp.concatenate([f[k] for f in feeds], axis=0)
+             for k in feeds[0] if k not in ("x0n", "x1n")}
+    queue["x0n"] = jnp.stack([f["x0n"] for f in feeds])
+    queue["x1n"] = jnp.stack([f["x1n"] for f in feeds])
+    queue["norm_threshs"] = jnp.full((n_pairs,), 2e-3, jnp.float32)
+    return queue, pairs
+
+
+def test_refill_scheduling_invariance(trained_model):
+    """The dynamic-refill queue loop must produce IDENTICAL per-pair results
+    no matter how many slots process the queue: RANSAC keys derive from
+    (queue index, layer index) only, and batch elements never interact."""
+    from impx.eval.iterative_refill import run_iterative_refill
+
+    model, params = trained_model
+    rs = np.random.RandomState(300)
+    queue, pairs = _queue_feed(rs, 6)
+    kw = dict(valid_its=(1, 2, 3, 4, 5), match_ratio=0.1, min_kpts=15,
+              pose_stop_deg=2.5, num_hypotheses=256)
+    key = jax.random.PRNGKey(7)
+    out_a = run_iterative_refill(model, params, queue, key, slots=6, **kw)
+    out_b = run_iterative_refill(model, params, queue, key, slots=2, **kw)
+
+    assert int(out_a["completed"]) == 6
+    assert int(out_b["completed"]) == 6
+    np.testing.assert_array_equal(np.asarray(out_a["converged"]),
+                                  np.asarray(out_b["converged"]))
+    np.testing.assert_array_equal(np.asarray(out_a["stopped_at"]),
+                                  np.asarray(out_b["stopped_at"]))
+    np.testing.assert_array_equal(np.asarray(out_a["indices0"]),
+                                  np.asarray(out_b["indices0"]))
+    np.testing.assert_allclose(np.asarray(out_a["R"]), np.asarray(out_b["R"]),
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(out_a["t"]), np.asarray(out_b["t"]),
+                               atol=1e-4)
+    # fewer slots => more sequential steps; both bounded by the safety cap
+    assert int(out_b["n_steps"]) >= int(out_a["n_steps"])
+
+
+def test_refill_recovers_poses(trained_model):
+    """Quality gate: the refill loop on a trained model must converge and
+    recover the true relative poses (same bar as the lockstep loops)."""
+    from impx.eval.iterative_refill import run_iterative_refill
+
+    model, params = trained_model
+    rs = np.random.RandomState(100)  # same pair stream as the other tests
+    queue, pairs = _queue_feed(rs, 6)
+    out = run_iterative_refill(
+        model, params, queue, jax.random.PRNGKey(1), slots=3,
+        valid_its=(1, 2, 3, 4, 5), match_ratio=0.1, min_kpts=15,
+        pose_stop_deg=2.5, num_hypotheses=512)
+    conv = np.asarray(out["converged"])
+    assert conv.sum() >= 4, conv
+    errs = []
+    for qi in range(6):
+        if not conv[qi]:
+            continue
+        err_R = float(G.angle_error_mat(jnp.asarray(pairs[qi]["R"]),
+                                        jnp.asarray(out["R"][qi])))
+        err_t = float(G.angle_error_vec(jnp.asarray(pairs[qi]["T"]),
+                                        jnp.asarray(out["t"][qi])))
+        errs.append(max(err_R, min(err_t, 180 - err_t)))
+    assert np.median(errs) < 5.0, errs
+    assert (np.asarray(out["stopped_at"])[conv] < model.config.n_layers).any()
