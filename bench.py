@@ -175,6 +175,11 @@ def main():
 
     extras = [
         # ordered by how load-bearing the claim is (budget may cut the tail)
+        # dynamic slot refill (impx/eval/iterative_refill.py): converged
+        # slots immediately pick up the next queued pair instead of idling
+        # until the batch straggler finishes
+        ("imp_iterative_refill", lambda: bs.bench_iterative_refill(
+            DGNNS(_cfg()), 2048, slots=16, queue_size=64)),
         ("imp_iterative_trained_b16", lambda: bs.bench_iterative_trained(
             DGNNS(_cfg()), 2048, batch=16, K=3, quality_probe=False)),
         ("eimp_compact", lambda: bs.bench_forward(
@@ -182,11 +187,11 @@ def main():
             AdaGMN(_cfg(compaction=((4, 1024), (8, 512), (12, 256)))), 2048)),
         ("imp_sift", lambda: bs.bench_forward(
             "imp_sift", DGNNS(_cfg("sift")), 2048)),
-        # named-save 'attn' remat + the training scan's automatic full-N
-        # q-block is the measured operating point (80.6 vs 71.9 pairs/s
-        # under 'full'/block-256 — STATUS.md variant table)
+        # custom-VJP fused layers (MatcherConfig.train_fused): no forward
+        # replay, saved-lse attention backward, bf16 backward matmuls —
+        # round-5 successor to the 'attn' remat operating point
         ("train_step_1024", lambda: bs.bench_train_step(
-            DGNNS(_cfg(train_remat="attn")))),
+            DGNNS(_cfg(train_fused=True)))),
         ("imp_iterative_b1_latency", lambda: bs.bench_iterative_latency(
             DGNNS(_cfg()), 2048)),
     ]

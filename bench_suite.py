@@ -360,6 +360,70 @@ def bench_iterative_trained(model, n_kpts=2048, batch=8, K=6, train_kpts=512,
     return pairs_per_sec
 
 
+def bench_iterative_refill(model, n_kpts=2048, slots=16, queue_size=64, K=2,
+                           train_kpts=512, train_steps=500,
+                           num_hypotheses=256, eval_inlier_frac=0.25,
+                           min_kpts=25, pose_stop_deg=1.5, name="imp"):
+    """Dynamic-refill iterative loop (impx/eval/iterative_refill.py): a
+    device-resident queue of `queue_size` pairs drained through `slots`
+    always-busy slots. vs the lockstep fused loop (bench_iterative_trained),
+    a slot whose pair converges at iteration 6 immediately picks up the next
+    pair instead of idling until the batch's straggler finishes — converting
+    the bimodal stop distribution's ~30% wasted iterations into throughput.
+    Same data discipline: distinct device-generated matchable scenes per
+    queue, value readback in the timed region."""
+    import jax
+    import jax.numpy as jnp
+    from impx.data.synthetic_device import synthesize_feed_device
+    from impx.eval.iterative_refill import iterative_refill_queue
+    from impx.models.fast import stack_params
+
+    dim = model.config.descriptor_dim
+    params, _ = _trained_matcher_params(model, train_kpts, train_steps)
+    stacked = stack_params(params, model.config)
+
+    def gen(seed):
+        gk = jax.random.fold_in(jax.random.PRNGKey(7), seed)
+        feed, R, t = synthesize_feed_device(gk, queue_size, n_kpts, dim,
+                                            inlier_frac=eval_inlier_frac)
+        feed["norm_threshs"] = jnp.full((queue_size,), 2e-3, jnp.float32)
+        return feed, R, t
+
+    @jax.jit
+    def run_stream(stacked, seed):
+        def body(acc, k):
+            queue, _, _ = gen(seed + k)
+            out = iterative_refill_queue(
+                model, stacked, queue, jax.random.PRNGKey(1), slots=slots,
+                num_hypotheses=num_hypotheses, min_kpts=min_kpts,
+                pose_stop_deg=pose_stop_deg)
+            return acc + jnp.sum(out["mscores0"]) + jnp.sum(out["stopped_at"]), \
+                (out["converged"], out["stopped_at"], out["n_steps"])
+        return jax.lax.scan(body, jnp.zeros(()), jnp.arange(K) * 1000)
+
+    acc, (conv, stops, nsteps) = run_stream(stacked, jnp.asarray(1_000_000))
+    float(acc)
+    float(run_stream(stacked, jnp.asarray(9_000_000))[0])
+    best = None
+    for seed in (2_000_000, 3_000_000):
+        t0 = time.perf_counter()
+        acc, stats = run_stream(stacked, jnp.asarray(seed))
+        float(acc)
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    conv, stops, nsteps = map(np.asarray, stats)
+    pairs_per_sec = K * queue_size / best
+    print(json.dumps({
+        "metric": f"{name}_iterative_refill_pairs_per_sec_{n_kpts}kpt_1chip",
+        "value": round(pairs_per_sec, 3),
+        "unit": (f"pairs/s (queue {queue_size}, slots {slots}; converged "
+                 f"{conv.mean():.2f}, mean stop {stops.mean():.1f}/"
+                 f"{model.config.n_layers}, steps/queue {nsteps.mean():.0f})"),
+        "vs_baseline": round(pairs_per_sec / REF_GPU_PAIRS_PER_SEC, 3),
+    }), flush=True)
+    return pairs_per_sec
+
+
 def bench_iterative_latency(model, n_kpts=2048, n_pairs=24, train_kpts=512,
                             train_steps=500, num_hypotheses=256,
                             min_kpts=25, pose_stop_deg=1.5, name="imp"):
@@ -774,8 +838,10 @@ def bench_train_roofline(model, n_kpts=1024, batch=16, K=24):
     hfu = (4 * fwd_flops / (ms_full * 1e-3)) / PEAK_BF16
     mfu_fwd = (fwd_flops / (ms_fwd * 1e-3)) / PEAK_BF16
     print(json.dumps({
-        "metric": (f"train_roofline_{model.config.train_remat}"
-                   f"_ms_per_pair_{n_kpts}kpt_b{batch}"),
+        "metric": ("train_roofline_"
+                   + ("fused" if model.config.train_fused
+                      else model.config.train_remat)
+                   + f"_ms_per_pair_{n_kpts}kpt_b{batch}"),
         "value": round(ms_full, 3),
         "unit": (f"ms/pair full step (fwd {ms_fwd:.2f}, +bwd {ms_grad:.2f}, "
                  f"sink1 {ms_sink1:.2f}; analytic {fwd_flops / 1e9:.0f}G fwd "
@@ -859,6 +925,11 @@ def main(selected):
             lambda c: bench_iterative_trained(
                 AdaGMN(c), 2048, with_uncertainty=True, name="eimp",
                 train_model=DGNNS(c), batch=16, K=3))(cfg()),
+        # dynamic slot refill: device-resident queue, every slot always busy
+        "imp_iterative_refill": lambda: bench_iterative_refill(
+            DGNNS(cfg()), 2048, slots=16, queue_size=64),
+        "imp_iterative_refill_s8": lambda: bench_iterative_refill(
+            DGNNS(cfg()), 2048, slots=8, queue_size=64),
         # single-pair serving latency: trained weights, batch 1, p50/p90 ms
         "imp_iterative_b1_latency": lambda: bench_iterative_latency(
             DGNNS(cfg()), 2048),
@@ -883,6 +954,19 @@ def main(selected):
         # (skips the priciest VPU recompute in the backward)
         "train_step_1024_attn": lambda: bench_train_step(
             DGNNS(cfg(train_remat="attn")), name="train_step_attn"),
+        # custom-VJP fused layers: no forward replay, saved-lse attention
+        # backward, all backward matmuls in the stream dtype (bf16)
+        "train_step_1024_fused": lambda: bench_train_step(
+            DGNNS(cfg(train_fused=True)), name="train_step_fused"),
+        "train_step_1024_fused_b24": lambda: bench_train_step(
+            DGNNS(cfg(train_fused=True)), batch=24, K=16,
+            name="train_step_fused_b24"),
+        "train_step_1024_fused_b32": lambda: bench_train_step(
+            DGNNS(cfg(train_fused=True)), batch=32, K=12,
+            name="train_step_fused_b32"),
+        # fused-layer roofline companion
+        "train_roofline_fused": lambda: bench_train_roofline(
+            DGNNS(cfg(train_fused=True))),
         # + score head outside the remat region (Sinkhorn custom-VJP
         # residuals stored once instead of the u/v loop replaying in bwd)
         "train_step_1024_attn_head": lambda: bench_train_step(
