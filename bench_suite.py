@@ -476,11 +476,59 @@ def bench_iterative_latency(model, n_kpts=2048, n_pairs=24, train_kpts=512,
     print(json.dumps({
         "metric": f"{name}_iterative_b1_latency_ms_{n_kpts}kpt_1chip",
         "value": round(p50, 2),
-        "unit": (f"ms/pair p50 (p90 {p90:.1f}; incl ~28ms relay RTT; "
-                 f"converged {n_conv}/{n_pairs}, mean stop "
-                 f"{np.mean(stops):.1f}/{model.config.n_layers})"),
+        "unit": (f"ms/pair p50 END-TO-END incl ~28ms relay RTT (p90 "
+                 f"{p90:.1f}; converged {n_conv}/{n_pairs}, mean stop "
+                 f"{np.mean(stops):.1f}/{model.config.n_layers}; see the "
+                 "b1_compute line for the device-only split)"),
         # baseline: one pair per 1/35 s on the estimated reference GPU
         "vs_baseline": round((1000.0 / 35.0) / p50, 3),
+    }), flush=True)
+
+    # ---- compute-only split: CHAIN n_pairs sequential pairs inside ONE jit
+    # program (pair k+1's input carries a negligible but unfoldable term from
+    # pair k's output, forcing serial execution), so the per-pair device
+    # latency is total/M with the relay round trip amortized away — the
+    # number an on-host serving deployment would see.
+    @jax.jit
+    def run_chain(stacked, seed):
+        def body(c, k):
+            gk = jax.random.fold_in(jax.random.PRNGKey(7), seed + k)
+            d, _, _ = synthesize_feed_device(gk, 1, n_kpts, dim)
+            # serialize: depend on the previous pair's result (1e-24 on
+            # scores is below bf16/fp32 relevance but not constant-foldable)
+            d = dict(d, scores0=d["scores0"] + c * 1e-24)
+            key = jax.random.fold_in(jax.random.PRNGKey(1), seed + k)
+            layer_keys = jnp.tile(key[None, :], (model.config.n_layers, 1))
+            out = iterative_fused_batched(
+                model, stacked, d, layer_keys, nts,
+                num_hypotheses=num_hypotheses, min_kpts=min_kpts,
+                pose_stop_deg=pose_stop_deg)
+            c = jnp.sum(out["mscores0"]) + jnp.sum(out["stopped_at"])
+            return c, (out["converged"][0], out["stopped_at"][0])
+        c, (conv, stop) = jax.lax.scan(
+            body, jnp.zeros(()), jnp.arange(n_pairs) * 131)
+        return c, conv, stop
+
+    float(run_chain(stacked, jnp.asarray(20_000_000))[0])  # compile + warm
+    float(run_chain(stacked, jnp.asarray(21_000_000))[0])
+    best, stats = None, None
+    for seed in (22_000_000, 23_000_000):
+        t0 = time.perf_counter()
+        c, conv, stop = run_chain(stacked, jnp.asarray(seed))
+        float(c)
+        dt = time.perf_counter() - t0
+        if best is None or dt < best:
+            best, stats = dt, (np.asarray(conv), np.asarray(stop))
+    ms_pair = best / n_pairs * 1e3
+    conv, stop = stats
+    print(json.dumps({
+        "metric": f"{name}_iterative_b1_compute_ms_{n_kpts}kpt_1chip",
+        "value": round(ms_pair, 2),
+        "unit": (f"ms/pair DEVICE COMPUTE ONLY, mean over {n_pairs} chained "
+                 f"pairs in one program (no relay RTT; converged "
+                 f"{int(conv.sum())}/{n_pairs}, mean stop {stop.mean():.1f}/"
+                 f"{model.config.n_layers})"),
+        "vs_baseline": round((1000.0 / 35.0) / ms_pair, 3),
     }), flush=True)
     return p50
 
@@ -853,6 +901,72 @@ def bench_train_roofline(model, n_kpts=1024, batch=16, K=24):
             "sink1": ms_sink1, "flops": fwd_flops, "mfu": mfu}
 
 
+def bench_train_quality_eimp(steps=500, train_kpts=512, batch=16,
+                             n_layers=15, log_every=100):
+    """500-step training-quality comparison: masked EIMP vs bucket-compacted
+    EIMP on the SAME synthetic data stream, seed and hyperparameters. The
+    compacted trainer is a deliberately different (cheaper) objective —
+    after each gather, discarded tokens leave the attention queries and the
+    InstanceNorm statistics (sliced semantics, reference
+    eval/matching.py:166-174) — so this run turns that caveat into a measured
+    statement: the acc_corr trajectories of both trainers side by side.
+    One JSON line per trainer, trajectory in the unit field."""
+    import jax
+    import jax.numpy as jnp
+    from impx.data.megadepth import SyntheticMegadepth
+    from impx.models import AdaGMN, MatcherConfig
+    from impx.train.step import (TrainHyperParams, init_stats, make_optimizer,
+                                 make_train_step)
+
+    base = dataclasses.replace(
+        MatcherConfig.eval_config("spp", n_layers=n_layers),
+        attn_impl="pallas", compute_dtype="bfloat16", train_remat="attn",
+        first_it_to_update=2, n_min_tokens=128)
+    variants = {
+        "masked": base,
+        # half-N at it 4, quarter-N at it 8 — the training-size mirror of the
+        # eval protocol-floor schedule (4:1024, 8:512, 12:256 at N=2048)
+        "compact": dataclasses.replace(
+            base, train_compaction=((4, train_kpts // 2),
+                                    (8, train_kpts // 4))),
+    }
+    hp = TrainHyperParams(lr=3e-4, decay_iter=10**6, grad_clip=1.0)
+    dim = base.descriptor_dim
+    ds = SyntheticMegadepth(num_pairs=128, nfeatures=train_kpts,
+                            desc_dim=dim, seed=0)
+    batches = []
+    for bi in range(8):
+        samples = [ds[bi * batch + i] for i in range(batch)]
+        batches.append(
+            {k: jnp.asarray(np.stack([s[k] for s in samples]), jnp.float32)
+             for k in samples[0] if isinstance(samples[0][k], np.ndarray)})
+
+    out = {}
+    for name, cfg_v in variants.items():
+        model = AdaGMN(cfg_v)
+        params = model.init(jax.random.PRNGKey(0))
+        step = make_train_step(model, hp, donate=False)
+        opt = make_optimizer(hp).init(params)
+        traj = []
+        acc_win = []
+        for it in range(steps):
+            params, opt, metrics, _ = step(params, opt, jnp.asarray(it),
+                                           batches[it % len(batches)],
+                                           init_stats())
+            acc_win.append(float(metrics["acc_corr"]))
+            if (it + 1) % log_every == 0:
+                traj.append(round(float(np.mean(acc_win[-log_every:])), 1))
+        out[name] = (traj, float(np.mean(acc_win[-log_every:])))
+        print(json.dumps({
+            "metric": f"train_quality_eimp_{name}_acc_corr",
+            "value": round(out[name][1], 2),
+            "unit": (f"correct matches/pair, mean of last {log_every} steps; "
+                     f"per-{log_every}-step trajectory {traj}"),
+            "vs_baseline": 0,
+        }), flush=True)
+    return out
+
+
 def main(selected):
     import os
 
@@ -979,6 +1093,16 @@ def main(selected):
         # adgm.py:49-325 semantics)
         "train_step_1024_eimp": lambda: bench_train_step(
             AdaGMN(cfg()), name="train_step_eimp"),
+        # EIMP training with bucketed compaction: physical token gathering in
+        # the training scan (half-N at it 4, quarter-N at it 8 — the training
+        # mirror of the eval protocol-floor schedule)
+        "train_step_1024_eimp_compact": lambda: bench_train_step(
+            AdaGMN(cfg(train_compaction=((4, 512), (8, 256)),
+                       train_remat="attn", first_it_to_update=2)),
+            name="train_step_eimp_compact"),
+        # 500-step masked-vs-compact training-quality comparison (acc_corr
+        # trajectories on the same data stream/seed)
+        "train_quality_eimp": lambda: bench_train_quality_eimp(),
         # kernel-level microbenchmarks (roofline evidence)
         "kernels": lambda: bench_kernels(),
         # training-step roofline: fwd/bwd/optimizer/Sinkhorn-chain split + MFU

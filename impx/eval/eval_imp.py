@@ -41,6 +41,9 @@ parser.add_argument("--config_path", type=str, default=None)
 parser.add_argument("--weight_path", type=str, default=None)
 parser.add_argument("--weight_root", type=str, default="weights")
 parser.add_argument("--max_pairs", type=int, default=-1)
+parser.add_argument("--layers", type=int, default=15,
+                    help="matcher iterations (15 = the published eval config; "
+                         "smaller values are for CPU smoke runs only)")
 parser.add_argument("--bucket", type=int, default=-1, help="keypoint padding bucket")
 parser.add_argument("--attn_impl", type=str, default="xla", choices=["xla", "pallas"],
                     help="pallas = fused kernels via the scan fast path (fastest; "
@@ -446,11 +449,11 @@ def evaluate(model, params, reader, error_th: float, eval_config: dict, args) ->
     }
 
 
-def main():
+def main(argv=None):
     from impx.tools.compile_cache import enable as enable_compile_cache
 
     enable_compile_cache()  # cold-start: 15-layer compiles reload in seconds
-    args = parser.parse_args()
+    args = parser.parse_args(argv)
     feat = args.feature_type
     error_th = 3 if args.dataset == "scannet" else 1
 
@@ -475,6 +478,7 @@ def main():
 
     model = build_model(args.matching_method, feat,
                         use_sinkhorn=not args.use_dual_softmax,
+                        n_layers=args.layers,
                         attn_impl=args.attn_impl, compute_dtype=args.compute_dtype,
                         compaction=parse_compaction(args.compaction))
     weight_file = args.weight_path or osp.join(

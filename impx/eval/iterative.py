@@ -144,7 +144,8 @@ class IterativeMatcher:
                     last_R, last_t, has_pose, key, norm_thresh):
         """One convergence check; ni is a traced scalar used only to select
         final_proj weights, so this compiles once."""
-        from impx.ransac.pose_solver import estimate_pose_from_matches
+        from impx.ransac.pose_solver import (estimate_pose_from_matches,
+                                             prior_essential)
 
         model, params = self.model, self.params
         # dynamic layer select: stack final_proj weights once, gather at ni
@@ -161,9 +162,11 @@ class IterativeMatcher:
         m_valid = idx0[0] > -1
         n_matches = jnp.sum(m_valid)
         # match-compacted score-weighted RANSAC (see estimate_pose_from_matches)
+        # warm-started from the previous checkpoint's pose
         pose = estimate_pose_from_matches(
             key, x0n, x1n, idx0[0], ms0[0], norm_thresh,
-            num_hypotheses=self.num_hypotheses, sample_size=self.sample_size)
+            num_hypotheses=self.num_hypotheses, sample_size=self.sample_size,
+            E_init=prior_essential(last_R, last_t, has_pose))
         enough = n_matches >= self.min_kpts
         pose_ok = pose["num_inliers"] >= 5
 
@@ -382,7 +385,8 @@ class BatchedIterativeMatcher(IterativeMatcher):
                             state, keys, norm_threshs):
         """Batched convergence check. x0n/x1n [B,N,2]; keys [B,2] PRNG keys;
         norm_threshs [B]. state carries frozen per-pair results."""
-        from impx.ransac.pose_solver import estimate_pose_from_matches
+        from impx.ransac.pose_solver import (estimate_pose_from_matches,
+                                             prior_essential)
 
         model, params = self.model, self.params
         fw = jnp.stack([p["w"] for p in params["final_proj"]])
@@ -398,11 +402,14 @@ class BatchedIterativeMatcher(IterativeMatcher):
         m_valid = idx0 > -1                                   # [B, N]
         n_matches = jnp.sum(m_valid, axis=1)                  # [B]
 
+        # previous checkpoint's pose warm-starts LO (see iterative_fused.py)
+        E_prev = jax.vmap(prior_essential)(state["R"], state["t"],
+                                           state["has_pose"])
         pose = jax.vmap(
-            lambda k, a, b, i0, ms, th: estimate_pose_from_matches(
+            lambda k, a, b, i0, ms, th, ei: estimate_pose_from_matches(
                 k, a, b, i0, ms, th, num_hypotheses=self.num_hypotheses,
-                sample_size=self.sample_size)
-        )(keys, x0n, x1n, idx0, ms0, norm_threshs)
+                sample_size=self.sample_size, E_init=ei)
+        )(keys, x0n, x1n, idx0, ms0, norm_threshs, E_prev)
 
         enough = n_matches >= self.min_kpts                   # [B]
         pose_ok = pose["num_inliers"] >= 5

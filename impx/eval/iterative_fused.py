@@ -58,7 +58,8 @@ def iterative_fused_batched(
     state dict (indices0 [B,N], mscores0, R, t, has_pose, converged,
     stopped_at)."""
     from impx.ops.pallas.sinkhorn import sinkhorn_fused_stats
-    from impx.ransac.pose_solver import estimate_pose_from_matches
+    from impx.ransac.pose_solver import (estimate_pose_from_matches,
+                                         prior_essential)
 
     cfg = model.config
     assert cfg.norm_fn == "in"
@@ -93,12 +94,20 @@ def iterative_fused_batched(
         pair_keys = jax.random.split(key, b)
         # match-compacted score-weighted RANSAC: only the matched pairs reach
         # the solver (bucket of ransac_bucket), minimal sets drawn
-        # PROSAC-style by match score
+        # PROSAC-style by match score. The previous checkpoint's pose warm-
+        # starts local optimization (prior_essential): consecutive checkpoint
+        # poses then differ by at most one polish step whenever the prior
+        # still explains the matches, instead of by independent-sample
+        # jitter — the stop criterion (diff <= 1.5 deg, reference
+        # matching.py:110-117) measures model agreement, not sampling luck.
+        E_prev = jax.vmap(prior_essential)(state["R"], state["t"],
+                                           state["has_pose"])
         pose = jax.vmap(
-            lambda k, a, bb, i0, ms, th: estimate_pose_from_matches(
+            lambda k, a, bb, i0, ms, th, ei: estimate_pose_from_matches(
                 k, a, bb, i0, ms, th, bucket=ransac_bucket,
-                num_hypotheses=num_hypotheses, sample_size=sample_size)
-        )(pair_keys, x0n, x1n, idx0, ms0, norm_threshs)
+                num_hypotheses=num_hypotheses, sample_size=sample_size,
+                E_init=ei)
+        )(pair_keys, x0n, x1n, idx0, ms0, norm_threshs, E_prev)
 
         enough = n_matches >= min_kpts
         pose_ok = pose["num_inliers"] >= 5

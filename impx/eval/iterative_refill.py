@@ -123,7 +123,8 @@ def iterative_refill_queue(
     has_pose, converged, stopped_at, n_steps scalar diagnostics).
     """
     from impx.ops.pallas.sinkhorn import sinkhorn_fused_stats
-    from impx.ransac.pose_solver import estimate_pose_from_matches
+    from impx.ransac.pose_solver import (estimate_pose_from_matches,
+                                         prior_essential)
 
     cfg = model.config
     assert cfg.norm_fn == "in"
@@ -219,11 +220,16 @@ def iterative_refill_queue(
         # discipline as the lockstep bench / cv2's deterministic seeding)
         pair_keys = jax.vmap(lambda qi: jax.random.fold_in(key, qi))(
             jnp.clip(state["qidx"], 0, Q - 1))
+        # previous checkpoint's pose warm-starts LO (see iterative_fused.py)
+        E_prev = jax.vmap(prior_essential)(state["R"], state["t"],
+                                           state["has_pose"])
         pose = jax.vmap(
-            lambda k, a, bb, i0, ms, th: estimate_pose_from_matches(
+            lambda k, a, bb, i0, ms, th, ei: estimate_pose_from_matches(
                 k, a, bb, i0, ms, th, bucket=ransac_bucket,
-                num_hypotheses=num_hypotheses, sample_size=sample_size)
-        )(pair_keys, state["x0n"], state["x1n"], idx0, ms0, state["thresh"])
+                num_hypotheses=num_hypotheses, sample_size=sample_size,
+                E_init=ei)
+        )(pair_keys, state["x0n"], state["x1n"], idx0, ms0, state["thresh"],
+          E_prev)
 
         enough = n_matches >= min_kpts
         pose_ok = pose["num_inliers"] >= 5
@@ -273,16 +279,22 @@ def iterative_refill_queue(
         state = dict(state, desc=desc, qk_self=qk_self, qk_cross=qk_cross)
 
         need = (check_table[li] > 0.5) & state["active"] & \
-            ~state["converged"]
+            ~state["converged"] & (state["li"] < nL)
         state = jax.lax.cond(jnp.any(need), checkpoint,
                              lambda s, _n: s, state, need)
 
-        state["li"] = jnp.where(state["active"], state["li"] + 1,
-                                state["li"])
+        state["li"] = jnp.where(state["active"] & (state["li"] < nL),
+                                state["li"] + 1, state["li"])
 
-        # retire finished slots (converged or out of iterations) ...
+        # retire finished slots (converged or out of iterations), PARITY
+        # SNAPPED: refills only happen on even global steps, so every slot's
+        # layer index keeps li parity == step parity and the (mostly odd)
+        # VALID_ITS checkpoints of all slots land on SHARED steps — the
+        # Sinkhorn+RANSAC stage then fires at the lockstep loop's cadence
+        # (~every 2nd step) instead of nearly every step once slots desync.
+        # Costs at most one idle iteration per retiring pair.
         done = state["active"] & (state["converged"] |
-                                  (state["li"] >= nL))
+                                  (state["li"] >= nL)) & (steps % 2 == 0)
         qi = jnp.clip(state["qidx"], 0, Q - 1)
         for name in ("indices0", "mscores0", "R", "t", "has_pose",
                      "converged", "stopped_at"):
@@ -299,7 +311,8 @@ def iterative_refill_queue(
         next_ptr = next_ptr + jnp.sum(done.astype(jnp.int32))
         return state, results, next_ptr, completed, steps + 1
 
-    max_steps = nL * ((Q + B - 1) // B) + nL
+    # parity-snapped retires add <= 1 idle step per pair to the bound
+    max_steps = (nL + 2) * ((Q + B - 1) // B) + nL + 2
     def cond(carry):
         _, _, _, completed, steps = carry
         return (completed < Q) & (steps < max_steps)

@@ -113,6 +113,16 @@ def normalize_pts(pts, K):
     return (np.asarray(pts) - K[:2, 2]) / np.array([K[0, 0], K[1, 1]])
 
 
+def prior_essential(R, t, has_pose):
+    """Safe warm-start model for `E_init`: the essential matrix of (R, t)
+    when `has_pose`, else a fixed valid essential (pure z-translation) that
+    simply competes and loses. Keeps E_init finite/nonzero under jit so the
+    iterative loops can pass it unconditionally."""
+    E_prev = skew_symmetric(t) @ R
+    E_z = skew_symmetric(jnp.asarray([0.0, 0.0, 1.0]))
+    return jnp.where(has_pose, E_prev, E_z)
+
+
 @functools.partial(jax.jit, static_argnames=("num_hypotheses", "lo_iterations",
                                              "sample_size", "refine_iters"))
 def estimate_pose_jax(
@@ -189,11 +199,13 @@ def estimate_pose_from_matches(
     sample_size: int = 5,
     weighted: bool = True,
     refine_iters: int = 8,
+    E_init=None,
 ):
     """Pose from a matcher's output, on device: compact the matched pairs
     into a fixed `bucket` (top-`bucket` by match score), run score-weighted
     (PROSAC-style) RANSAC + cheirality there, and scatter the inlier mask
-    back to keypoint indexing.
+    back to keypoint indexing. `E_init` (optional [3,3], finite + nonzero)
+    warm-starts the local optimization — see estimate_essential_ransac.
 
     Why: the iterative loop's checkpoints only need the matched pairs
     (typically a few hundred of N=2048 keypoints) — scoring/triangulating all
@@ -218,7 +230,7 @@ def estimate_pose_from_matches(
     out = estimate_essential_ransac(
         key, mx0, mx1, valid_r, norm_thresh,
         num_hypotheses=num_hypotheses, lo_iterations=lo_iterations,
-        sample_size=sample_size, weights=w)
+        sample_size=sample_size, weights=w, E_init=E_init)
     R, t, _, _ = decompose_essential_mat(
         out["E"], mx0, mx1, distance_thresh=distance_thresh,
         valid=out["inliers"])

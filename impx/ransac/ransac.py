@@ -92,6 +92,7 @@ def estimate_essential_ransac(
     score_sigmas: tuple = (1.0, 2.0),
     lo_anneal: float = 3.0,
     lo_starts: int = 1,
+    E_init: jax.Array | None = None,
 ):
     """x0, x1: [N, 2] normalized camera coordinates; valid: [N] bool;
     threshold: inlier threshold in normalized coordinates (Sampson).
@@ -104,6 +105,14 @@ def estimate_essential_ransac(
     weights: optional [N] sampling confidences (e.g. match scores) —
     minimal sets are then drawn PROSAC-style proportional to weight, which
     preserves accuracy at a fraction of the hypothesis budget.
+
+    E_init: optional [3,3] warm-start model (e.g. the previous checkpoint's
+    essential matrix in the iterative loop). It joins the local-optimization
+    starts and competes under the SAME gain as every sampled hypothesis, so
+    it can only win when it genuinely explains the current matches — a stale
+    or wrong prior loses to fresh hypotheses. Callers must pass a FINITE,
+    nonzero matrix (gate with e.g. skew([0,0,1]) when no prior exists);
+    Sampson scoring is scale-invariant in E, so no normalization is needed.
 
     Returns dict(E [3,3], inliers [N] bool, gain scalar, num_inliers).
     """
@@ -156,7 +165,13 @@ def estimate_essential_ransac(
         return jax.lax.fori_loop(0, lo_iterations, lo_body, (E0, g0))
 
     top_g, top_i = jax.lax.top_k(gains, min(lo_starts, gains.shape[0]))
-    Es_f, gs_f = jax.vmap(lo_chain)(Es[top_i])
+    starts = Es[top_i]
+    if E_init is not None:
+        # the warm-start model is one more LO basin (cv2 USAC seeds LO from
+        # every so-far-best model; the previous checkpoint's pose is exactly
+        # such a model for the iterative protocol)
+        starts = jnp.concatenate([starts, E_init[None]], axis=0)
+    Es_f, gs_f = jax.vmap(lo_chain)(starts)
     b = jnp.argmax(gs_f)
     E = Es_f[b]
     gain, inliers, _ = _score(E, x0, x1, valid, threshold, score_sigmas)

@@ -203,3 +203,54 @@ def test_estimate_pose_cv2_reference_bitexact():
     assert np.allclose(ret_imp[1], ret_ref[1], atol=1e-5)
     assert np.allclose(np.asarray(ret_imp[2]).ravel(),
                        np.asarray(ret_ref[2]).ravel(), atol=1e-5)
+
+
+def test_warm_start_prior():
+    """Warm-started RANSAC (E_init — the iterative loops' previous-checkpoint
+    prior): a CORRECT prior recovers the pose even at a hypothesis budget far
+    too small for fresh sampling, and a GARBAGE prior loses the gain
+    competition without degrading the no-prior result."""
+    from impx.geometry.epipolar import skew_symmetric
+    from impx.ransac.pose_solver import (estimate_pose_jax, prior_essential)
+    from impx.ransac.ransac import estimate_essential_ransac
+
+    rs = np.random.RandomState(11)
+    n_in, n_out = 120, 240  # 2/3 outliers: brutal for a tiny budget
+    R, t, x0, x1 = synthetic_pair(rs, n=n_in, noise=1.5e-3)
+    _, _, ox0, ox1 = synthetic_pair(rs, n=n_out)
+    x0a = jnp.asarray(np.vstack([x0, ox0]))
+    x1a = jnp.asarray(np.vstack([x1, np.roll(ox1, 5, axis=0)]))
+    valid = jnp.ones(n_in + n_out, bool)
+    E_gt = np.asarray(skew_symmetric(jnp.asarray(t)) @ jnp.asarray(R))
+
+    def run(E_init, key=0, H=6, S=8):
+        out = estimate_essential_ransac(
+            jax.random.PRNGKey(key), x0a, x1a, valid, 3e-3,
+            num_hypotheses=H, sample_size=S,
+            E_init=None if E_init is None else jnp.asarray(E_init))
+        return int(out["num_inliers"])
+
+    # at 6 hypotheses / 67% outliers, fresh sampling virtually never finds
+    # the model (P(clean 8-sample) ~ (1/3)^8); the true-E prior must
+    inl_prior = run(E_gt)
+    inl_none = run(None)
+    assert inl_prior > 0.8 * n_in, (inl_prior, inl_none)
+
+    # a garbage prior must not beat fresh hypotheses at a budget where fresh
+    # sampling succeeds (5-point: ~4 expected clean samples at H=1024):
+    # same key, with vs without, identical-quality results
+    E_junk = np.asarray(skew_symmetric(jnp.asarray([0.3, -0.9, 0.4]))
+                        @ np.asarray(random_rotation(rs)))
+    inl_a = run(None, key=5, H=1024, S=5)
+    inl_b = run(E_junk, key=5, H=1024, S=5)
+    # (absolute quality on this deliberately brutal scene is fresh-RANSAC's
+    # property, not the warm start's — only non-degradation is asserted)
+    assert inl_b >= 0.95 * inl_a, (inl_a, inl_b)
+
+    # gating helper: no pose yet -> fixed valid fallback, never NaN
+    Ez = np.asarray(prior_essential(jnp.eye(3), jnp.zeros(3),
+                                    jnp.asarray(False)))
+    assert np.isfinite(Ez).all() and np.abs(Ez).sum() > 0
+    Ep = np.asarray(prior_essential(jnp.asarray(R), jnp.asarray(t),
+                                    jnp.asarray(True)))
+    assert np.allclose(Ep, E_gt)
