@@ -424,6 +424,68 @@ def bench_iterative_refill(model, n_kpts=2048, slots=16, queue_size=64, K=2,
     return pairs_per_sec
 
 
+def bench_iterative_staged(model, n_kpts=2048, batch=16, queue_size=64, K=2,
+                           train_kpts=512, train_steps=500,
+                           num_hypotheses=256, eval_inlier_frac=0.25,
+                           min_kpts=25, pose_stop_deg=1.5, name="imp"):
+    """Staged-compaction iterative loop (impx/eval/iterative_staged.py):
+    checkpoint-depth cohorts with trace-time-constant layer weights — the
+    third scheduling point between lockstep (whole batch waits on the
+    straggler) and slot refill (always busy but every matmul runs with
+    per-slot gathered weights). Same data + timing discipline as the other
+    iterative benches."""
+    import jax
+    import jax.numpy as jnp
+    from impx.data.synthetic_device import synthesize_feed_device
+    from impx.eval.iterative_staged import iterative_staged_queue
+    from impx.models.fast import stack_params
+
+    dim = model.config.descriptor_dim
+    params, _ = _trained_matcher_params(model, train_kpts, train_steps)
+    stacked = stack_params(params, model.config)
+
+    def gen(seed):
+        gk = jax.random.fold_in(jax.random.PRNGKey(7), seed)
+        feed, R, t = synthesize_feed_device(gk, queue_size, n_kpts, dim,
+                                            inlier_frac=eval_inlier_frac)
+        feed["norm_threshs"] = jnp.full((queue_size,), 2e-3, jnp.float32)
+        return feed, R, t
+
+    @jax.jit
+    def run_stream(stacked, seed):
+        def body(acc, k):
+            queue, _, _ = gen(seed + k)
+            out = iterative_staged_queue(
+                model, stacked, queue, jax.random.PRNGKey(1), batch=batch,
+                num_hypotheses=num_hypotheses, min_kpts=min_kpts,
+                pose_stop_deg=pose_stop_deg)
+            return acc + jnp.sum(out["mscores0"]) + jnp.sum(out["stopped_at"]), \
+                (out["converged"], out["stopped_at"], out["n_steps"])
+        return jax.lax.scan(body, jnp.zeros(()), jnp.arange(K) * 1000)
+
+    acc, (conv, stops, nsteps) = run_stream(stacked, jnp.asarray(1_000_000))
+    float(acc)
+    float(run_stream(stacked, jnp.asarray(9_000_000))[0])
+    best = None
+    for seed in (2_000_000, 3_000_000):
+        t0 = time.perf_counter()
+        acc, stats = run_stream(stacked, jnp.asarray(seed))
+        float(acc)
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    conv, stops, nsteps = map(np.asarray, stats)
+    pairs_per_sec = K * queue_size / best
+    print(json.dumps({
+        "metric": f"{name}_iterative_staged_pairs_per_sec_{n_kpts}kpt_1chip",
+        "value": round(pairs_per_sec, 3),
+        "unit": (f"pairs/s (queue {queue_size}, cohort {batch}; converged "
+                 f"{conv.mean():.2f}, mean stop {stops.mean():.1f}/"
+                 f"{model.config.n_layers}, steps/queue {nsteps.mean():.0f})"),
+        "vs_baseline": round(pairs_per_sec / REF_GPU_PAIRS_PER_SEC, 3),
+    }), flush=True)
+    return pairs_per_sec
+
+
 def bench_iterative_latency(model, n_kpts=2048, n_pairs=24, train_kpts=512,
                             train_steps=500, num_hypotheses=256,
                             min_kpts=25, pose_stop_deg=1.5, name="imp"):
@@ -1044,6 +1106,13 @@ def main(selected):
             DGNNS(cfg()), 2048, slots=16, queue_size=64),
         "imp_iterative_refill_s8": lambda: bench_iterative_refill(
             DGNNS(cfg()), 2048, slots=8, queue_size=64),
+        # staged compaction: checkpoint-depth cohorts, constant weights
+        "imp_iterative_staged": lambda: bench_iterative_staged(
+            DGNNS(cfg()), 2048, batch=16, queue_size=64),
+        "imp_iterative_staged_b8": lambda: bench_iterative_staged(
+            DGNNS(cfg()), 2048, batch=8, queue_size=64),
+        "imp_iterative_staged_b4": lambda: bench_iterative_staged(
+            DGNNS(cfg()), 2048, batch=4, queue_size=64),
         # single-pair serving latency: trained weights, batch 1, p50/p90 ms
         "imp_iterative_b1_latency": lambda: bench_iterative_latency(
             DGNNS(cfg()), 2048),
@@ -1112,6 +1181,9 @@ def main(selected):
         # skipped, the rest still rematerializes)
         "train_roofline_attn": lambda: bench_train_roofline(
             DGNNS(cfg(train_remat="attn"))),
+        # roofline under the custom-VJP fused layers (cfg.train_fused)
+        "train_roofline_fused": lambda: bench_train_roofline(
+            DGNNS(cfg(train_fused=True))),
     }
     for name in (selected or list(configs)):
         configs[name]()

@@ -267,6 +267,82 @@ def test_refill_scheduling_invariance(trained_model):
     assert int(out_b["n_steps"]) >= int(out_a["n_steps"])
 
 
+def test_staged_scheduling_invariance(trained_model):
+    """The staged-compaction cohort loop must produce IDENTICAL per-pair
+    results no matter the cohort batch size: RANSAC keys derive from the
+    queue index only, and cohort members never interact."""
+    from impx.eval.iterative_staged import run_iterative_staged
+
+    model, params = trained_model
+    rs = np.random.RandomState(300)
+    queue, pairs = _queue_feed(rs, 6)
+    kw = dict(valid_its=(1, 2, 3, 4, 5), match_ratio=0.1, min_kpts=15,
+              pose_stop_deg=2.5, num_hypotheses=256)
+    key = jax.random.PRNGKey(7)
+    out_a = run_iterative_staged(model, params, queue, key, batch=6, **kw)
+    out_b = run_iterative_staged(model, params, queue, key, batch=2, **kw)
+
+    assert int(out_a["completed"]) == 6
+    assert int(out_b["completed"]) == 6
+    np.testing.assert_array_equal(np.asarray(out_a["converged"]),
+                                  np.asarray(out_b["converged"]))
+    np.testing.assert_array_equal(np.asarray(out_a["stopped_at"]),
+                                  np.asarray(out_b["stopped_at"]))
+    np.testing.assert_array_equal(np.asarray(out_a["indices0"]),
+                                  np.asarray(out_b["indices0"]))
+    np.testing.assert_allclose(np.asarray(out_a["R"]), np.asarray(out_b["R"]),
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(out_a["t"]), np.asarray(out_b["t"]),
+                               atol=1e-4)
+    # smaller cohorts => more while-loop trips
+    assert int(out_b["n_steps"]) >= int(out_a["n_steps"])
+    # the refill loop uses the same per-queue-index key discipline, so the
+    # two schedulers should agree pair for pair — up to fp: refill's layers
+    # run with per-slot GATHERED weight operands (einsum bnd,bde->bne) where
+    # staged closes over constant weights (bnd,de->bne), a different XLA
+    # program whose rounding can flip a pair sitting at the pose-diff stop
+    # threshold. Tolerate at most one threshold-adjacent flip; jointly
+    # converged pairs must agree exactly on stop iteration and pose.
+    from impx.eval.iterative_refill import run_iterative_refill
+
+    out_r = run_iterative_refill(model, params, queue, key, slots=3, **kw)
+    conv_a = np.asarray(out_a["converged"])
+    conv_r = np.asarray(out_r["converged"])
+    assert (conv_a != conv_r).sum() <= 1, (conv_a, conv_r)
+    both = conv_a & conv_r
+    np.testing.assert_array_equal(np.asarray(out_a["stopped_at"])[both],
+                                  np.asarray(out_r["stopped_at"])[both])
+    np.testing.assert_allclose(np.asarray(out_a["R"])[both],
+                               np.asarray(out_r["R"])[both], atol=1e-3)
+
+
+def test_staged_recovers_poses(trained_model):
+    """Quality gate: the staged cohort loop on a trained model must converge
+    and recover the true relative poses (same bar as the other loops)."""
+    from impx.eval.iterative_staged import run_iterative_staged
+
+    model, params = trained_model
+    rs = np.random.RandomState(100)  # same pair stream as the other tests
+    queue, pairs = _queue_feed(rs, 6)
+    out = run_iterative_staged(
+        model, params, queue, jax.random.PRNGKey(1), batch=3,
+        valid_its=(1, 2, 3, 4, 5), match_ratio=0.1, min_kpts=15,
+        pose_stop_deg=2.5, num_hypotheses=512)
+    conv = np.asarray(out["converged"])
+    assert conv.sum() >= 4, conv
+    errs = []
+    for qi in range(6):
+        if not conv[qi]:
+            continue
+        err_R = float(G.angle_error_mat(jnp.asarray(pairs[qi]["R"]),
+                                        jnp.asarray(out["R"][qi])))
+        err_t = float(G.angle_error_vec(jnp.asarray(pairs[qi]["T"]),
+                                        jnp.asarray(out["t"][qi])))
+        errs.append(max(err_R, min(err_t, 180 - err_t)))
+    assert np.median(errs) < 5.0, errs
+    assert (np.asarray(out["stopped_at"])[conv] < model.config.n_layers).any()
+
+
 def test_refill_recovers_poses(trained_model):
     """Quality gate: the refill loop on a trained model must converge and
     recover the true relative poses (same bar as the lockstep loops)."""
