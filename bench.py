@@ -175,11 +175,12 @@ def main():
 
     extras = [
         # ordered by how load-bearing the claim is (budget may cut the tail)
-        # dynamic slot refill (impx/eval/iterative_refill.py): converged
-        # slots immediately pick up the next queued pair instead of idling
-        # until the batch straggler finishes
-        ("imp_iterative_refill", lambda: bs.bench_iterative_refill(
-            DGNNS(_cfg()), 2048, slots=16, queue_size=64)),
+        # staged-compaction scheduling (impx/eval/iterative_staged.py):
+        # checkpoint-depth cohorts drawn from a device-resident queue, layer
+        # weights trace-time constant; beats both lockstep (48) and slot
+        # refill (43) on the same trained weights
+        ("imp_iterative_staged", lambda: bs.bench_iterative_staged(
+            DGNNS(_cfg()), 2048, batch=8, queue_size=64)),
         ("imp_iterative_trained_b16", lambda: bs.bench_iterative_trained(
             DGNNS(_cfg()), 2048, batch=16, K=3, quality_probe=False)),
         ("eimp_compact", lambda: bs.bench_forward(
@@ -194,6 +195,12 @@ def main():
             DGNNS(_cfg(train_fused=True)))),
         ("imp_iterative_b1_latency", lambda: bs.bench_iterative_latency(
             DGNNS(_cfg()), 2048)),
+        # EIMP-compact training: physical token gathering inside the training
+        # scan (the training mirror of the eval compaction schedule)
+        ("train_step_1024_eimp_compact", lambda: bs.bench_train_step(
+            AdaGMN(_cfg(train_compaction=((4, 512), (8, 256)),
+                        train_remat="attn", first_it_to_update=2)),
+            name="train_step_eimp_compact")),
     ]
     for name, fn in extras:
         elapsed = time.time() - t_process_start

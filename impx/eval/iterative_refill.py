@@ -19,10 +19,13 @@ What changes vs the lockstep loop:
   * pose checkpoints fire per slot whenever that slot's layer index is in
     VALID_ITS (reference eval/matching.py:43), so the RANSAC stage runs with
     a per-slot mask instead of on globally-aligned iterations;
-  * per-pair results are IDENTICAL regardless of scheduling: the RANSAC key
-    of a checkpoint is derived from the queue index only, never from the
-    slot or the global step (tested by running the same queue at different
-    slot counts — tests/test_iterative_e2e.py).
+  * per-pair results are independent of scheduling: the RANSAC key of a
+    checkpoint is derived from the pair's IDENTITY only (fold_in(key,
+    pair_ids[qidx]); pair_ids defaults to the queue position), never from
+    the slot or the global step. Queue-order invariance is bitwise (same
+    shapes, same program); across different slot COUNTS the XLA program
+    changes, so agreement is up to fp rounding at the pose-stop threshold
+    (both pinned by tests/test_iterative_e2e.py).
 """
 from __future__ import annotations
 
@@ -134,6 +137,11 @@ def iterative_refill_queue(
     B = slots
 
     Q, n = queue["descriptors0"].shape[:2]
+    # per-pair identity for the RANSAC key: scheduling- AND order-invariant
+    # (permuting the queue permutes results bitwise; tested)
+    pair_ids = queue.get("pair_ids")
+    if pair_ids is None:
+        pair_ids = jnp.arange(Q, dtype=jnp.int32)
     valid0_q = queue.get("valid0")
     valid1_q = queue.get("valid1")
     if valid0_q is None:
@@ -213,13 +221,14 @@ def iterative_refill_queue(
 
         m_valid = idx0 > -1
         n_matches = jnp.sum(m_valid, axis=1)
-        # scheduling-invariant keys: derived from the QUEUE index only (never
-        # the slot or global step), and REUSED across a pair's checkpoints so
-        # consecutive checkpoints draw the same minimal sets and the pose-diff
-        # stop measures the matcher's change, not RANSAC sampling noise (same
-        # discipline as the lockstep bench / cv2's deterministic seeding)
-        pair_keys = jax.vmap(lambda qi: jax.random.fold_in(key, qi))(
-            jnp.clip(state["qidx"], 0, Q - 1))
+        # scheduling-invariant keys: derived from the pair's IDENTITY only
+        # (never the slot, queue position, or global step), and REUSED across
+        # a pair's checkpoints so consecutive checkpoints draw the same
+        # minimal sets and the pose-diff stop measures the matcher's change,
+        # not RANSAC sampling noise (same discipline as the lockstep bench /
+        # cv2's deterministic seeding)
+        pair_keys = jax.vmap(lambda pid: jax.random.fold_in(key, pid))(
+            pair_ids[jnp.clip(state["qidx"], 0, Q - 1)])
         # previous checkpoint's pose warm-starts LO (see iterative_fused.py)
         E_prev = jax.vmap(prior_essential)(state["R"], state["t"],
                                            state["has_pose"])
@@ -295,13 +304,15 @@ def iterative_refill_queue(
         # Costs at most one idle iteration per retiring pair.
         done = state["active"] & (state["converged"] |
                                   (state["li"] >= nL)) & (steps % 2 == 0)
-        qi = jnp.clip(state["qidx"], 0, Q - 1)
+        # scatter ONLY retiring slots: exhausted slots carry qidx >= Q, and
+        # clipping them into range would alias the LAST queue pair — a
+        # duplicate-index scatter whose write order XLA leaves undefined
+        # (observed: pair Q-1's result clobbered with its stale value when
+        # the queue wraps). mode="drop" discards the out-of-range rows.
+        qi = jnp.where(done, state["qidx"], Q)
         for name in ("indices0", "mscores0", "R", "t", "has_pose",
                      "converged", "stopped_at"):
-            old = results[name][qi]
-            mask = done.reshape((B,) + (1,) * (old.ndim - 1))
-            results[name] = results[name].at[qi].set(
-                jnp.where(mask, state[name], old))
+            results[name] = results[name].at[qi].set(state[name], mode="drop")
         completed = completed + jnp.sum(done)
 
         # ... and refill them from the queue head

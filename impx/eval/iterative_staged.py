@@ -21,10 +21,12 @@ whatever other pairs reached the same depth — one `lax.while_loop` whose body
 gathers the fullest cohort, `lax.switch`es into its segment, and scatters the
 results back. Zero host round-trips, static shapes throughout.
 
-Scheduling invariance: a pair's checkpoint RNG key is derived from its QUEUE
-index only (fold_in(key, qidx), the iterative_refill.py discipline), so
-per-pair results are independent of batch size and cohort composition —
-pinned by tests/test_iterative_e2e.py.
+Scheduling invariance: a pair's checkpoint RNG key is derived from its
+IDENTITY only (fold_in(key, pair_ids[qidx]); pair_ids defaults to the queue
+position), never from the slot, step, or cohort composition. Queue-order
+invariance is bitwise (same shapes, same program) and pinned by
+tests/test_iterative_e2e.py; across different cohort SIZES the program
+changes, so agreement is up to fp rounding at the pose-stop threshold.
 """
 from __future__ import annotations
 
@@ -93,9 +95,26 @@ def iterative_staged_queue(
     D = cfg.descriptor_dim
     segs = _segments(nL, valid_its)
     S = len(segs)  # tag S == done
+    # static sharing pattern: layer li's self block is sharing[2*li], cross
+    # is sharing[2*li+1]. Layer indices are Python ints here, so sharing is
+    # resolved at trace time — sharing layers skip the q/k projections
+    # entirely and fresh layers skip the runtime select.
+    sharing = cfg.sharing_layers(getattr(model, "sharing", False))
+    # qk state must cross segment boundaries only if some NON-FIRST segment
+    # STARTS with a sharing layer. With the reference checkpoint grid
+    # (valid_its 3,5,7,...: segments start on even layers) and the DGNNS
+    # sharing pattern (odd layers >= 3 share), it never does — the four
+    # [Q,2,H,N,dh] carry buffers and their per-step gather/scatter vanish.
+    carry_qk = any(sharing[2 * layers[0]] or sharing[2 * layers[0] + 1]
+                   for layers, _ in segs[1:])
 
     Q, n = queue["descriptors0"].shape[:2]
     B = min(batch, Q)  # both trace-time constants
+    # per-pair identity for the RANSAC key: scheduling- AND order-invariant
+    # (permuting the queue permutes results bitwise; tested)
+    pair_ids = queue.get("pair_ids")
+    if pair_ids is None:
+        pair_ids = jnp.arange(Q, dtype=jnp.int32)
     valid0_q = queue.get("valid0")
     valid1_q = queue.get("valid1")
     if valid0_q is None:
@@ -115,10 +134,6 @@ def iterative_staged_queue(
     buf = {
         "desc": jnp.stack([(queue["descriptors0"] + enc0).astype(dt),
                            (queue["descriptors1"] + enc1).astype(dt)], 1),
-        "qs_q": jnp.zeros((Q, 2, h, n, dh), dt),
-        "qs_k": jnp.zeros((Q, 2, h, n, dh), dt),
-        "qc_q": jnp.zeros((Q, 2, h, n, dh), dt),
-        "qc_k": jnp.zeros((Q, 2, h, n, dh), dt),
         "R": jnp.broadcast_to(jnp.eye(3), (Q, 3, 3)),
         "t": jnp.zeros((Q, 3)),
         "has_pose": jnp.zeros((Q,), bool),
@@ -127,6 +142,9 @@ def iterative_staged_queue(
         "indices0": jnp.full((Q, n), -1, jnp.int32),
         "mscores0": jnp.zeros((Q, n), jnp.float32),
     }
+    if carry_qk:
+        for name in ("qs_q", "qs_k", "qc_q", "qc_k"):
+            buf[name] = jnp.zeros((Q, 2, h, n, dh), dt)
     x0n_q = queue["x0n"].astype(jnp.float32)
     x1n_q = queue["x1n"].astype(jnp.float32)
     thresh_q = queue["norm_threshs"]
@@ -145,11 +163,13 @@ def iterative_staged_queue(
                                        stacked["cross"])
                 delta, qk_self = _attn_block(
                     L_self, desc, desc, qk_self, keep, keep,
-                    h, cfg.ac_fn, compute_dtype, interpret)
+                    h, cfg.ac_fn, compute_dtype, interpret,
+                    shared_static=sharing[2 * li])
                 desc = desc + delta
                 delta, qk_cross = _attn_block(
                     L_cross, desc, swap(desc), qk_cross, keep_swap, keep,
-                    h, cfg.ac_fn, compute_dtype, interpret)
+                    h, cfg.ac_fn, compute_dtype, interpret,
+                    shared_static=sharing[2 * li + 1])
                 desc = desc + delta
 
             if ckpt is not None:
@@ -177,7 +197,8 @@ def iterative_staged_queue(
         m_valid = idx0 > -1
         n_matches = jnp.sum(m_valid, axis=1)
         # scheduling-invariant keys (see module docstring)
-        pair_keys = jax.vmap(lambda qi: jax.random.fold_in(key, qi))(idx)
+        pair_keys = jax.vmap(lambda pid: jax.random.fold_in(key, pid))(
+            pair_ids[idx])
         E_prev = jax.vmap(prior_essential)(st["R"], st["t"], st["has_pose"])
         pose = jax.vmap(
             lambda k, a, bb, i0, ms, th, ei: estimate_pose_from_matches(
@@ -224,10 +245,17 @@ def iterative_staged_queue(
         # gather the cohort into the stacked [2B] layout
         tohalves = lambda x: jnp.concatenate([x[:, 0], x[:, 1]], axis=0)
         desc = tohalves(buf["desc"][idx])
-        qk_self = {"q": tohalves(buf["qs_q"][idx]),
-                   "k": tohalves(buf["qs_k"][idx])}
-        qk_cross = {"q": tohalves(buf["qc_q"][idx]),
-                    "k": tohalves(buf["qc_k"][idx])}
+        if carry_qk:
+            qk_self = {"q": tohalves(buf["qs_q"][idx]),
+                       "k": tohalves(buf["qs_k"][idx])}
+            qk_cross = {"q": tohalves(buf["qc_q"][idx]),
+                        "k": tohalves(buf["qc_k"][idx])}
+        else:
+            # never read (every segment starts with a fresh layer): dummy
+            # operands, DCE'd inside the branches
+            zeros = jnp.zeros((2 * B, h, n, dh), dt)
+            qk_self = {"q": zeros, "k": zeros}
+            qk_cross = {"q": zeros, "k": zeros}
         keep0, keep1 = valid0_q[idx], valid1_q[idx]
         keep = jnp.concatenate([keep0, keep1], axis=0)
         keep_swap = jnp.concatenate([keep1, keep0], axis=0)
@@ -245,11 +273,12 @@ def iterative_staged_queue(
         buf["desc"] = buf["desc"].at[idx].set(
             jnp.where(active[:, None, None, None], frompairs(desc),
                       buf["desc"][idx]))
-        for name, val in (("qs_q", qk_self["q"]), ("qs_k", qk_self["k"]),
-                          ("qc_q", qk_cross["q"]), ("qc_k", qk_cross["k"])):
-            buf[name] = buf[name].at[idx].set(
-                jnp.where(active[:, None, None, None, None], frompairs(val),
-                          buf[name][idx]))
+        if carry_qk:
+            for name, val in (("qs_q", qk_self["q"]), ("qs_k", qk_self["k"]),
+                              ("qc_q", qk_cross["q"]), ("qc_k", qk_cross["k"])):
+                buf[name] = buf[name].at[idx].set(
+                    jnp.where(active[:, None, None, None, None],
+                              frompairs(val), buf[name][idx]))
         for name in ("R", "t", "has_pose", "converged", "stopped_at",
                      "indices0", "mscores0"):
             old = buf[name][idx]

@@ -107,11 +107,20 @@ def bwd_compare(n=1024, tb=32, h=4, dh=64, K=60):
                                        interpret=interp)
                 return jnp.sum(o.astype(jnp.float32)[0, 0, 0])
 
-            _timed(f"attn_fwdlse_{dname}_bq{block_q}_tb{tb}_{n}", fwd_only, K)
-            _timed(f"attn_bwd_old_{dname}_bq{block_q}_tb{tb}_{n}", old_bwd, K)
-            # new = fwd(lse) + bwd chained; subtract the fwd line to isolate
-            _timed(f"attn_fwd_plus_bwd_lse_{dname}_bq{block_q}_tb{tb}_{n}",
-                   new_bwd, K)
+            for tag, fn in ((f"attn_fwdlse_{dname}_bq{block_q}_tb{tb}_{n}",
+                             fwd_only),
+                            (f"attn_bwd_old_{dname}_bq{block_q}_tb{tb}_{n}",
+                             old_bwd),
+                            # new = fwd(lse) + bwd chained; subtract the fwd
+                            # line to isolate the backward alone
+                            (f"attn_fwd_plus_bwd_lse_{dname}_bq{block_q}_tb{tb}_{n}",
+                             new_bwd)):
+                try:
+                    _timed(tag, fn, K)
+                except Exception as e:  # one config must not kill the probe
+                    print(json.dumps({"metric": tag, "value": -1,
+                                      "unit": f"FAILED: {type(e).__name__}",
+                                      "vs_baseline": 0}), flush=True)
 
 
 def main(argv=None):

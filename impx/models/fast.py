@@ -118,20 +118,31 @@ def _tail(L, x, out, query_mask, ac_fn):
 
 
 def _attn_block(L, x, source, qk_carry, key_mask, query_mask, num_heads, ac_fn,
-                compute_dtype, interpret, block_q=None):
+                compute_dtype, interpret, block_q=None, shared_static=None):
     """One attentional-propagation layer on the stacked batch. Returns
     (delta, new_qk_carry). The activation stream runs in `compute_dtype`
     (bf16 halves HBM traffic and keeps all matmuls MXU-native); instance-norm
-    statistics stay fp32."""
+    statistics stay fp32.
+
+    `shared_static`: when the caller knows AT TRACE TIME whether this layer
+    shares attention (e.g. the staged loop, where layer indices are Python
+    ints), pass True/False to skip either the q/k projections (shared) or the
+    runtime select (fresh). None = runtime `L["shared"]` select (the scan
+    path, where all layers run through one traced body)."""
     from impx.ops.pallas.attention import mha_fused
 
-    q_new = _proj_heads(L["q"], x, num_heads)
-    k_new = _proj_heads(L["k"], source, num_heads)
     v = _proj_heads(L["v"], source, num_heads)
-
-    shared = L["shared"] > 0.5
-    q_used = jnp.where(shared, qk_carry["q"], q_new)
-    k_used = jnp.where(shared, qk_carry["k"], k_new)
+    if shared_static is None:
+        q_new = _proj_heads(L["q"], x, num_heads)
+        k_new = _proj_heads(L["k"], source, num_heads)
+        shared = L["shared"] > 0.5
+        q_used = jnp.where(shared, qk_carry["q"], q_new)
+        k_used = jnp.where(shared, qk_carry["k"], k_new)
+    elif shared_static:
+        q_used, k_used = qk_carry["q"], qk_carry["k"]
+    else:
+        q_used = _proj_heads(L["q"], x, num_heads)
+        k_used = _proj_heads(L["k"], source, num_heads)
 
     out = mha_fused(q_used, k_used, v, key_mask, interpret=interpret,
                     block_q=block_q or 256)

@@ -27,6 +27,24 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEG = -1e30
 
+# Scoped-VMEM budget for the [block_q, Nk]-shaped kernel temporaries (scores,
+# probs, d-probs). Mosaic's per-kernel stack limit is 16 MB; leaving ~6 MB for
+# the q/k/v/o blocks and double buffering keeps every schedule inside it.
+_VMEM_TEMP_BUDGET = 10 * 2**20
+
+
+def _cap_block_q(nq: int, nk: int, requested: int, temp_bytes_per_elem: int) -> int:
+    """Largest q-block <= `requested` that (a) divides nq and (b) keeps the
+    [block_q, Nk] temporaries under the scoped-VMEM budget. Without this the
+    backward kernel OOMs the 16 MB Mosaic stack at fp32/block_q=1024/Nk=1024
+    (measured: 16.35 MB) — the 'one tuned sweet spot' failure mode."""
+    bq = min(requested, nq)
+    while nq % bq:
+        bq //= 2
+    while bq > 128 and bq * nk * temp_bytes_per_elem > _VMEM_TEMP_BUDGET:
+        bq //= 2
+    return max(bq, 8)
+
 
 def _attn_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale: float):
     q = q_ref[0, 0]  # [bq, dh]
@@ -119,6 +137,7 @@ def _mha_bwd_call(q, k, v, key_mask3, do, block_q: int, interpret: bool):
     b, h, nq, dh = q.shape
     nk = k.shape[2]
     scale = 1.0 / (dh ** 0.5)
+    block_q = _cap_block_q(nq, nk, block_q, 16)  # s,e,dp,ds fp32 temps
     grid = (b, h, nq // block_q)
     dq, dk, dv = pl.pallas_call(
         functools.partial(_attn_bwd_kernel, scale=scale),
@@ -183,8 +202,7 @@ def mha_fused(q, k, v, key_mask=None, block_q: int = 256, interpret: bool = Fals
     """
     b, h, nq, dh = q.shape
     nk = k.shape[2]
-    block_q = min(block_q, nq)
-    assert nq % block_q == 0, (nq, block_q)
+    block_q = _cap_block_q(nq, nk, block_q, 8)  # s,e fp32 temps
     if key_mask is None:
         key_mask3 = jnp.ones((b, 1, nk), jnp.float32)
     else:
@@ -225,8 +243,7 @@ def mha_fused_lse(q, k, v, key_mask=None, block_q: int = 256,
     VJP calls `mha_bwd_from_lse` with the saved (out, lse) residuals."""
     b, h, nq, dh = q.shape
     nk = k.shape[2]
-    block_q = min(block_q, nq)
-    assert nq % block_q == 0, (nq, block_q)
+    block_q = _cap_block_q(nq, nk, block_q, 8)  # s,e fp32 temps
     if key_mask is None:
         key_mask3 = jnp.ones((b, 1, nk), jnp.float32)
     else:
@@ -311,8 +328,9 @@ def mha_bwd_from_lse(q, k, v, key_mask, lse, o, do, block_q: int = 256,
     Returns (dq, dk, dv) in q/k/v's dtype."""
     b, h, nq, dh = q.shape
     nk = k.shape[2]
-    block_q = min(block_q, nq)
-    assert nq % block_q == 0, (nq, block_q)
+    # temps: s, p, dp fp32 (12 B/elem) + pb, ds in the stream dtype
+    stream = 2 * jnp.dtype(q.dtype).itemsize
+    block_q = _cap_block_q(nq, nk, block_q, 12 + stream)
     if key_mask is None:
         key_mask3 = jnp.ones((b, 1, nk), jnp.float32)
     else:
@@ -391,8 +409,7 @@ def attention_key_mass(q, k, key_mask=None, query_mask=None, block_q: int = 256,
     softmax probabilities, WITHOUT materializing them in HBM."""
     b, h, nq, dh = q.shape
     nk = k.shape[2]
-    block_q = min(block_q, nq)
-    assert nq % block_q == 0
+    block_q = _cap_block_q(nq, nk, block_q, 8)  # s,e/p fp32 temps
     if key_mask is None:
         key_mask = jnp.ones((b, 1, nk), jnp.float32)
     else:

@@ -236,10 +236,52 @@ def _queue_feed(rs, n_pairs):
     return queue, pairs
 
 
+def _permuted(queue, perm):
+    """Reorder the queue; each pair keeps its ORIGINAL identity via pair_ids,
+    so its RANSAC key — fold_in(key, pair_id) — travels with it."""
+    q = {k: v[jnp.asarray(perm)] for k, v in queue.items()}
+    q["pair_ids"] = jnp.asarray(perm, jnp.int32)
+    return q
+
+
+def _unpermute(out, perm):
+    inv = np.empty_like(perm)
+    inv[perm] = np.arange(len(perm))
+    return {k: np.asarray(v)[inv] if np.asarray(v).ndim else np.asarray(v)
+            for k, v in out.items()}
+
+
+def _assert_agreement(out_a, out_b, q, max_flips=1, atol=1e-4,
+                      check_indices=True):
+    """Cross-SHAPE comparison (different slot/cohort counts compile different
+    XLA programs whose fp rounding can flip a pair sitting exactly at the
+    pose-diff stop threshold — observed under the 8-virtual-device CPU
+    runtime). Scheduling bugs corrupt many pairs; tolerate at most
+    `max_flips` threshold-adjacent convergence flips and require jointly
+    converged pairs to agree exactly."""
+    conv_a = np.asarray(out_a["converged"])
+    conv_b = np.asarray(out_b["converged"])
+    flips = conv_a != conv_b
+    assert flips.sum() <= max_flips, (conv_a, conv_b)
+    both = conv_a & conv_b & ~flips
+    same_stop = np.asarray(out_a["stopped_at"])[both] == \
+        np.asarray(out_b["stopped_at"])[both]
+    assert same_stop.all()
+    if check_indices:
+        np.testing.assert_array_equal(np.asarray(out_a["indices0"])[both],
+                                      np.asarray(out_b["indices0"])[both])
+    np.testing.assert_allclose(np.asarray(out_a["R"])[both],
+                               np.asarray(out_b["R"])[both], atol=atol)
+    np.testing.assert_allclose(np.asarray(out_a["t"])[both],
+                               np.asarray(out_b["t"])[both], atol=atol)
+
+
 def test_refill_scheduling_invariance(trained_model):
-    """The dynamic-refill queue loop must produce IDENTICAL per-pair results
-    no matter how many slots process the queue: RANSAC keys derive from
-    (queue index, layer index) only, and batch elements never interact."""
+    """Scheduling must not leak into per-pair results. Pinned two ways:
+    (a) BITWISE queue-order invariance at fixed shapes — permuting the queue
+    (pair_ids carrying each pair's RANSAC identity) permutes every output
+    exactly; (b) agreement across slot counts, which compile different XLA
+    programs (see _assert_agreement)."""
     from impx.eval.iterative_refill import run_iterative_refill
 
     model, params = trained_model
@@ -248,29 +290,25 @@ def test_refill_scheduling_invariance(trained_model):
     kw = dict(valid_its=(1, 2, 3, 4, 5), match_ratio=0.1, min_kpts=15,
               pose_stop_deg=2.5, num_hypotheses=256)
     key = jax.random.PRNGKey(7)
-    out_a = run_iterative_refill(model, params, queue, key, slots=6, **kw)
-    out_b = run_iterative_refill(model, params, queue, key, slots=2, **kw)
-
+    out_a = run_iterative_refill(model, params, queue, key, slots=3, **kw)
     assert int(out_a["completed"]) == 6
+
+    perm = np.array([4, 0, 5, 2, 1, 3])
+    out_p = run_iterative_refill(model, params, _permuted(queue, perm), key,
+                                 slots=3, **kw)
+    out_p = _unpermute(out_p, perm)
+    for k in ("converged", "stopped_at", "indices0", "mscores0", "R", "t"):
+        np.testing.assert_array_equal(np.asarray(out_a[k]), out_p[k], err_msg=k)
+
+    out_b = run_iterative_refill(model, params, queue, key, slots=6, **kw)
     assert int(out_b["completed"]) == 6
-    np.testing.assert_array_equal(np.asarray(out_a["converged"]),
-                                  np.asarray(out_b["converged"]))
-    np.testing.assert_array_equal(np.asarray(out_a["stopped_at"]),
-                                  np.asarray(out_b["stopped_at"]))
-    np.testing.assert_array_equal(np.asarray(out_a["indices0"]),
-                                  np.asarray(out_b["indices0"]))
-    np.testing.assert_allclose(np.asarray(out_a["R"]), np.asarray(out_b["R"]),
-                               atol=1e-4)
-    np.testing.assert_allclose(np.asarray(out_a["t"]), np.asarray(out_b["t"]),
-                               atol=1e-4)
-    # fewer slots => more sequential steps; both bounded by the safety cap
-    assert int(out_b["n_steps"]) >= int(out_a["n_steps"])
+    _assert_agreement(out_a, out_b, queue)
 
 
 def test_staged_scheduling_invariance(trained_model):
-    """The staged-compaction cohort loop must produce IDENTICAL per-pair
-    results no matter the cohort batch size: RANSAC keys derive from the
-    queue index only, and cohort members never interact."""
+    """Cohort composition must not leak into per-pair results. Pinned two
+    ways, like the refill test: (a) BITWISE queue-order invariance at fixed
+    shapes; (b) agreement across cohort sizes (different XLA programs)."""
     from impx.eval.iterative_staged import run_iterative_staged
 
     model, params = trained_model
@@ -279,41 +317,28 @@ def test_staged_scheduling_invariance(trained_model):
     kw = dict(valid_its=(1, 2, 3, 4, 5), match_ratio=0.1, min_kpts=15,
               pose_stop_deg=2.5, num_hypotheses=256)
     key = jax.random.PRNGKey(7)
-    out_a = run_iterative_staged(model, params, queue, key, batch=6, **kw)
-    out_b = run_iterative_staged(model, params, queue, key, batch=2, **kw)
-
+    out_a = run_iterative_staged(model, params, queue, key, batch=3, **kw)
     assert int(out_a["completed"]) == 6
+
+    perm = np.array([4, 0, 5, 2, 1, 3])
+    out_p = run_iterative_staged(model, params, _permuted(queue, perm), key,
+                                 batch=3, **kw)
+    out_p = _unpermute(out_p, perm)
+    for k in ("converged", "stopped_at", "indices0", "mscores0", "R", "t"):
+        np.testing.assert_array_equal(np.asarray(out_a[k]), out_p[k], err_msg=k)
+
+    out_b = run_iterative_staged(model, params, queue, key, batch=6, **kw)
     assert int(out_b["completed"]) == 6
-    np.testing.assert_array_equal(np.asarray(out_a["converged"]),
-                                  np.asarray(out_b["converged"]))
-    np.testing.assert_array_equal(np.asarray(out_a["stopped_at"]),
-                                  np.asarray(out_b["stopped_at"]))
-    np.testing.assert_array_equal(np.asarray(out_a["indices0"]),
-                                  np.asarray(out_b["indices0"]))
-    np.testing.assert_allclose(np.asarray(out_a["R"]), np.asarray(out_b["R"]),
-                               atol=1e-4)
-    np.testing.assert_allclose(np.asarray(out_a["t"]), np.asarray(out_b["t"]),
-                               atol=1e-4)
-    # smaller cohorts => more while-loop trips
-    assert int(out_b["n_steps"]) >= int(out_a["n_steps"])
-    # the refill loop uses the same per-queue-index key discipline, so the
+    _assert_agreement(out_a, out_b, queue)
+    # the refill loop uses the same per-pair-identity key discipline, so the
     # two schedulers should agree pair for pair — up to fp: refill's layers
     # run with per-slot GATHERED weight operands (einsum bnd,bde->bne) where
     # staged closes over constant weights (bnd,de->bne), a different XLA
-    # program whose rounding can flip a pair sitting at the pose-diff stop
-    # threshold. Tolerate at most one threshold-adjacent flip; jointly
-    # converged pairs must agree exactly on stop iteration and pose.
+    # program (see _assert_agreement).
     from impx.eval.iterative_refill import run_iterative_refill
 
     out_r = run_iterative_refill(model, params, queue, key, slots=3, **kw)
-    conv_a = np.asarray(out_a["converged"])
-    conv_r = np.asarray(out_r["converged"])
-    assert (conv_a != conv_r).sum() <= 1, (conv_a, conv_r)
-    both = conv_a & conv_r
-    np.testing.assert_array_equal(np.asarray(out_a["stopped_at"])[both],
-                                  np.asarray(out_r["stopped_at"])[both])
-    np.testing.assert_allclose(np.asarray(out_a["R"])[both],
-                               np.asarray(out_r["R"])[both], atol=1e-3)
+    _assert_agreement(out_a, out_r, queue, atol=1e-3, check_indices=False)
 
 
 def test_staged_recovers_poses(trained_model):
