@@ -1003,6 +1003,24 @@ def bench_train_quality_eimp(steps=500, train_kpts=512, batch=16,
             {k: jnp.asarray(np.stack([s[k] for s in samples]), jnp.float32)
              for k in samples[0] if isinstance(samples[0][k], np.ndarray)})
 
+    # held-out batches for the COMMON eval (the in-training acc_corr of the
+    # compact trainer is measured inside its own shrunken program, where the
+    # token floor caps achievable matches — not comparable across variants)
+    ds_eval = SyntheticMegadepth(num_pairs=64, nfeatures=train_kpts,
+                                 desc_dim=dim, seed=7)
+    eval_batches = []
+    for bi in range(4):
+        samples = [ds_eval[bi * batch + i] for i in range(batch)]
+        eval_batches.append(
+            {k: jnp.asarray(np.stack([s[k] for s in samples]), jnp.float32)
+             for k in samples[0] if isinstance(samples[0][k], np.ndarray)})
+    eval_model = AdaGMN(base)  # masked forward: one program for both variants
+
+    @jax.jit
+    def common_eval(params, data):
+        out = eval_model.forward_train(params, data, train=False)
+        return out["acc_corr"]
+
     out = {}
     for name, cfg_v in variants.items():
         model = AdaGMN(cfg_v)
@@ -1018,11 +1036,15 @@ def bench_train_quality_eimp(steps=500, train_kpts=512, batch=16,
             acc_win.append(float(metrics["acc_corr"]))
             if (it + 1) % log_every == 0:
                 traj.append(round(float(np.mean(acc_win[-log_every:])), 1))
-        out[name] = (traj, float(np.mean(acc_win[-log_every:])))
+        eval_acc = float(np.mean([float(common_eval(params, d))
+                                  for d in eval_batches]))
+        out[name] = (traj, float(np.mean(acc_win[-log_every:])), eval_acc)
         print(json.dumps({
             "metric": f"train_quality_eimp_{name}_acc_corr",
-            "value": round(out[name][1], 2),
-            "unit": (f"correct matches/pair, mean of last {log_every} steps; "
+            "value": round(eval_acc, 2),
+            "unit": (f"correct matches/pair on 4 HELD-OUT batches through the "
+                     f"common masked forward; in-trainer mean of last "
+                     f"{log_every} steps {out[name][1]:.1f}, "
                      f"per-{log_every}-step trajectory {traj}"),
             "vs_baseline": 0,
         }), flush=True)
@@ -1141,6 +1163,15 @@ def main(selected):
         # backward, all backward matmuls in the stream dtype (bf16)
         "train_step_1024_fused": lambda: bench_train_step(
             DGNNS(cfg(train_fused=True)), name="train_step_fused"),
+        # SuperGlue-style last-only supervision: one score head per step
+        # instead of n_layers — both a cheaper training objective and the
+        # exact ablation isolating the per-iteration dist+Sinkhorn+loss cost
+        "train_step_1024_lastonly": lambda: bench_train_step(
+            DGNNS(cfg(train_remat="attn", train_supervision="last")),
+            name="train_step_lastonly"),
+        "train_step_1024_fused_lastonly": lambda: bench_train_step(
+            DGNNS(cfg(train_fused=True, train_supervision="last")),
+            name="train_step_fused_lastonly"),
         "train_step_1024_fused_b24": lambda: bench_train_step(
             DGNNS(cfg(train_fused=True)), batch=24, K=16,
             name="train_step_fused_b24"),

@@ -273,6 +273,10 @@ class AdaGMN(DGNNS):
         mask restricted to surviving keypoints after pooling. Routes through
         the scan fast path (fused kernels, one compiled body, remat per
         cfg.train_remat) under the same conditions as produce_matches."""
+        if self.config.train_supervision != "all":
+            raise ValueError(
+                "train_supervision='last' is not defined for the EIMP "
+                "trainer (pooling decisions depend on per-iteration scores)")
         if (self.config.attn_impl == "pallas" and self.config.norm_fn == "in"
                 and not self.config.log_ot):
             from impx.models.fast import (forward_train_scan_eimp,

@@ -83,6 +83,13 @@ class MatcherConfig:
     # (the score head + loss stay under full remat). Needs
     # attn_impl='pallas' + norm_fn='in'.
     train_fused: bool = False
+    # which iterations the training loss supervises: 'all' = every self/cross
+    # iteration (the reference objective — per-iteration Sinkhorn + NLL,
+    # gms.py:48-137 stacks all nI iterations), 'last' = only the final
+    # iteration (SuperGlue-style, superglue.py:352-416 — one score head per
+    # step instead of n_layers; a cheaper objective AND the exact ablation
+    # that isolates the per-iteration score-head chain's cost)
+    train_supervision: str = "all"
     # q-block size for the fused attention kernel (None = kernel default 256
     # on the eval paths; the TRAINING scan picks the full keypoint count when
     # N <= 1024 — measured +3% at the published training config: a single

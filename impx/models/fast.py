@@ -509,6 +509,13 @@ def forward_train_scan(model, stacked: dict, data: dict[str, Any]):
     zero_terms = {"corr": jnp.zeros(()), "incorr": jnp.zeros(()), "neg": jnp.zeros(())}
     if epi is not None:
         zero_terms["geo"] = jnp.zeros(())
+    if cfg.train_supervision not in ("all", "last"):
+        raise ValueError(f"unknown train_supervision "
+                         f"{cfg.train_supervision!r} (expected 'all'|'last')")
+    # 'last': SuperGlue-style supervision — the score head runs once after
+    # the scan instead of inside every iteration (n_layers fewer
+    # dist+Sinkhorn+loss chains per step, forward AND backward)
+    sup_all = cfg.train_supervision == "all"
     # rematerialize in the backward pass: storing 15 iterations of Sinkhorn
     # plans + MLP intermediates (>4 GB at batch 16 / N 1024) blows HBM;
     # recompute costs ~1.3x forward time instead. cfg.train_remat picks the
@@ -526,12 +533,13 @@ def forward_train_scan(model, stacked: dict, data: dict[str, Any]):
         head_ckpt = jax.checkpoint(head_part, prevent_cse=False)
 
         def body_fused(carry, per_it):
-            desc, qk_self, qk_cross, terms, _ = carry
+            desc, qk_self, qk_cross, terms, score = carry
             desc, qs, ks = layer_self(desc, qk_self["q"], qk_self["k"],
                                       per_it["self"], mask_f, mask_f)
             desc, qc, kc = layer_cross(desc, qk_cross["q"], qk_cross["k"],
                                        per_it["cross"], mask_swap_f, mask_f)
-            terms, score = head_ckpt(desc, per_it, terms)
+            if sup_all:
+                terms, score = head_ckpt(desc, per_it, terms)
             return (desc, {"q": qs, "k": ks}, {"q": qc, "k": kc}, terms,
                     score), None
 
@@ -544,25 +552,32 @@ def forward_train_scan(model, stacked: dict, data: dict[str, Any]):
         attn_ckpt = _remat(attn_part, "attn")
 
         def body(carry, per_it):
-            desc, qk_self, qk_cross, terms, _ = carry
+            desc, qk_self, qk_cross, terms, score = carry
             desc, qk_self, qk_cross = attn_ckpt(desc, qk_self, qk_cross, per_it)
-            terms, score = head_part(desc, per_it, terms)
+            if sup_all:
+                terms, score = head_part(desc, per_it, terms)
             return (desc, qk_self, qk_cross, terms, score), None
 
         body_ckpt = body
     else:
         def body(carry, per_it):
-            desc, qk_self, qk_cross, terms, _ = carry
+            desc, qk_self, qk_cross, terms, score = carry
             desc, qk_self, qk_cross = attn_part(desc, qk_self, qk_cross, per_it)
-            terms, score = head_part(desc, per_it, terms)
+            if sup_all:
+                terms, score = head_part(desc, per_it, terms)
             return (desc, qk_self, qk_cross, terms, score), None
 
         body_ckpt = _remat(body, cfg.train_remat)
     (desc, _, _, terms, last_score), _ = jax.lax.scan(
         body_ckpt, (desc, zero_qk, zero_qk, zero_terms, zero_score), per_it)
 
-    n_it = cfg.n_layers
-    terms = jax.tree.map(lambda x: x / n_it, terms)
+    if sup_all:
+        n_it = cfg.n_layers
+        terms = jax.tree.map(lambda x: x / n_it, terms)
+    else:
+        last_it = {"final_w": stacked["final_w"][-1],
+                   "final_b": stacked["final_b"][-1]}
+        terms, last_score = head_part(desc, last_it, terms)
     matching_loss = terms["corr"] + terms["incorr"] + terms["neg"]
     loss = matching_loss
     if epi is not None:

@@ -228,6 +228,13 @@ class GM:
         from impx.models.loss import (geo_loss, graph_loss, matching_accuracy,
                                       maybe_epipolar_matrix)
 
+        if self.config.train_supervision != "all":
+            # implemented on the scan fast path only; falling through would
+            # silently train the per-iteration objective the user configured
+            # away from
+            raise ValueError(
+                "train_supervision='last' requires the scan fast path "
+                "(DGNNS with attn_impl='pallas', norm_fn='in')")
         desc0, desc1, valid0, valid1 = self._encode_inputs(params, data, train, axis_name)
         gt = data["matching_mask"]
         epi = (maybe_epipolar_matrix(data, self.config.geo_clamp)

@@ -127,10 +127,11 @@ def _attn_bwd_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref,
         dv_ref[0, 0] = jnp.zeros_like(dv_ref[0, 0])
 
     dv_ref[0, 0] += jax.lax.dot_general(
-        p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        p, do, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(dv_ref.dtype)
     dk_ref[0, 0] += jax.lax.dot_general(
         ds, q.astype(jnp.float32), (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
+        preferred_element_type=jnp.float32).astype(dk_ref.dtype)
 
 
 def _mha_bwd_call(q, k, v, key_mask3, do, block_q: int, interpret: bool):
@@ -139,6 +140,13 @@ def _mha_bwd_call(q, k, v, key_mask3, do, block_q: int, interpret: bool):
     scale = 1.0 / (dh ** 0.5)
     block_q = _cap_block_q(nq, nk, block_q, 16)  # s,e,dp,ds fp32 temps
     grid = (b, h, nq // block_q)
+    # With a single q-block per (batch, head) — the training default — dk/dv
+    # see exactly one store, so writing the grads in the stream dtype is
+    # bit-identical to the fp32-store-then-cast below while saving one full
+    # HBM round-trip over three [B,H,N,dh] tensors. Multi-block grids keep
+    # fp32 outputs: they accumulate across q-blocks.
+    acc_dtypes = ((q.dtype, k.dtype, v.dtype) if nq == block_q
+                  else (jnp.float32,) * 3)
     dq, dk, dv = pl.pallas_call(
         functools.partial(_attn_bwd_kernel, scale=scale),
         grid=grid,
@@ -163,9 +171,9 @@ def _mha_bwd_call(q, k, v, key_mask3, do, block_q: int, interpret: bool):
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((b, h, nq, dh), jnp.float32),
-            jax.ShapeDtypeStruct((b, h, nk, dh), jnp.float32),
-            jax.ShapeDtypeStruct((b, h, nk, dh), jnp.float32),
+            jax.ShapeDtypeStruct((b, h, nq, dh), acc_dtypes[0]),
+            jax.ShapeDtypeStruct((b, h, nk, dh), acc_dtypes[1]),
+            jax.ShapeDtypeStruct((b, h, nk, dh), acc_dtypes[2]),
         ],
         interpret=interpret,
     )(q, k, v, key_mask3, do)
@@ -309,7 +317,8 @@ def _attn_bwd_lse_kernel(q_ref, k_ref, v_ref, mask_ref, lse_ref, o_ref,
     ds = (p * (dp - delta) * scale).astype(q.dtype)
 
     dq_ref[0, 0] = jax.lax.dot_general(
-        ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        ds, k, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(dq_ref.dtype)
 
     @pl.when(qi == 0)
     def _():
@@ -317,9 +326,11 @@ def _attn_bwd_lse_kernel(q_ref, k_ref, v_ref, mask_ref, lse_ref, o_ref,
         dv_ref[0, 0] = jnp.zeros_like(dv_ref[0, 0])
 
     dv_ref[0, 0] += jax.lax.dot_general(
-        pb, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        pb, do, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(dv_ref.dtype)
     dk_ref[0, 0] += jax.lax.dot_general(
-        ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        ds, q, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(dk_ref.dtype)
 
 
 def mha_bwd_from_lse(q, k, v, key_mask, lse, o, do, block_q: int = 256,
@@ -339,6 +350,11 @@ def mha_bwd_from_lse(q, k, v, key_mask, lse, o, do, block_q: int = 256,
     grid = (b, h, nq // block_q)
     do = do.astype(q.dtype)
     o = o.astype(q.dtype)
+    # Single q-block grid (the training default): one store per dk/dv, so
+    # stream-dtype outputs are bit-identical to fp32-store-then-cast and
+    # skip an HBM round-trip over three [B,H,N,dh] fp32 tensors.
+    acc_dtypes = ((q.dtype, k.dtype, v.dtype) if nq == block_q
+                  else (jnp.float32,) * 3)
     dq, dk, dv = pl.pallas_call(
         functools.partial(_attn_bwd_lse_kernel, scale=scale),
         grid=grid,
@@ -367,9 +383,9 @@ def mha_bwd_from_lse(q, k, v, key_mask, lse, o, do, block_q: int = 256,
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((b, h, nq, dh), jnp.float32),
-            jax.ShapeDtypeStruct((b, h, nk, dh), jnp.float32),
-            jax.ShapeDtypeStruct((b, h, nk, dh), jnp.float32),
+            jax.ShapeDtypeStruct((b, h, nq, dh), acc_dtypes[0]),
+            jax.ShapeDtypeStruct((b, h, nk, dh), acc_dtypes[1]),
+            jax.ShapeDtypeStruct((b, h, nk, dh), acc_dtypes[2]),
         ],
         interpret=interpret,
     )(q, k, v, key_mask3, lse, o, do)

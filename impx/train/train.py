@@ -79,6 +79,12 @@ parser.add_argument("--train_fused", action="store_true",
                          "supersedes --train_remat for the layer part; "
                          "requires --attn_impl pallas + norm_fn=in — see "
                          "MatcherConfig.train_fused)")
+parser.add_argument("--train_supervision", type=str, default="all",
+                    choices=["all", "last"],
+                    help="'all' = per-iteration supervision (the reference "
+                         "objective, gms.py:48-137); 'last' = SuperGlue-style "
+                         "final-iteration-only loss (one score head per step "
+                         "— cheaper)")
 parser.add_argument("--train_compaction", type=str, default="",
                     help="EIMP training bucket-compaction schedule "
                          "'it:bucket,it:bucket,...' (adagmn only; physically "
@@ -121,6 +127,7 @@ def build_model(args):
         log_ot=args.log_ot,
         train_remat=args.train_remat,
         train_fused=args.train_fused,
+        train_supervision=args.train_supervision,
         attn_block_q=args.attn_block_q or None,
         train_compaction=parse_compaction(args.train_compaction),
     )

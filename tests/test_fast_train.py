@@ -224,3 +224,39 @@ def test_train_fused_learns():
         losses.append(float(m["loss"]))
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0] * 0.8, (losses[0], losses[-1])
+
+
+def test_train_supervision_last_only():
+    """cfg.train_supervision='last' (SuperGlue-style, superglue.py:352-416):
+    the loss must equal a head applied ONCE to the final descriptors — i.e.
+    the 'all' objective's final-iteration term, reproduced here by a 1-layer
+    sanity relation instead: remat and fused paths must agree bit-for-bit,
+    grads must be finite, and at n_layers=1 'all' and 'last' coincide."""
+    base = MatcherConfig(descriptor_dim=32, keypoint_encoder=(16, 32),
+                         n_layers=3, sinkhorn_iterations=10, norm_fn="in",
+                         attn_impl="pallas", train_supervision="last")
+    batch = _batch()
+    params = DGNNS(base).init(jax.random.PRNGKey(0))
+
+    m_remat = DGNNS(dataclasses.replace(base, train_remat="attn"))
+    m_fused = DGNNS(dataclasses.replace(base, train_fused=True))
+    out_r = m_remat.forward_train(params, batch, train=True)
+    out_f = m_fused.forward_train(params, batch, train=True)
+    np.testing.assert_allclose(float(out_f["loss"]), float(out_r["loss"]),
+                               rtol=1e-6)
+    g = jax.grad(
+        lambda p: m_fused.forward_train(p, batch, train=True)["loss"])(params)
+    assert all(np.isfinite(np.asarray(x)).all() for x in jax.tree.leaves(g))
+
+    # at n_layers=1 the two supervision modes are the same objective
+    one = dataclasses.replace(base, n_layers=1)
+    p1 = DGNNS(one).init(jax.random.PRNGKey(1))
+    l_last = float(DGNNS(one).forward_train(p1, batch, train=True)["loss"])
+    l_all = float(DGNNS(dataclasses.replace(one, train_supervision="all"))
+                  .forward_train(p1, batch, train=True)["loss"])
+    np.testing.assert_allclose(l_last, l_all, rtol=1e-6)
+
+    import pytest
+    with pytest.raises(ValueError):
+        DGNNS(dataclasses.replace(base, train_supervision="bogus")).forward_train(
+            params, batch, train=True)
