@@ -1172,6 +1172,11 @@ def main(selected):
         "train_step_1024_fused_lastonly": lambda: bench_train_step(
             DGNNS(cfg(train_fused=True, train_supervision="last")),
             name="train_step_fused_lastonly"),
+        # fused layers + score head OUTSIDE remat (stored dist/Sinkhorn
+        # residuals instead of a per-iteration replay of the OT chain)
+        "train_step_1024_fused_head": lambda: bench_train_step(
+            DGNNS(cfg(train_fused=True, train_remat="attn_head")),
+            name="train_step_fused_head"),
         "train_step_1024_fused_b24": lambda: bench_train_step(
             DGNNS(cfg(train_fused=True)), batch=24, K=16,
             name="train_step_fused_b24"),

@@ -530,7 +530,13 @@ def forward_train_scan(model, stacked: dict, data: dict[str, Any]):
         layer_cross = _make_fused_layer(False, h, cfg.ac_fn, bq, interpret)
         mask_f = mask.astype(jnp.float32)
         mask_swap_f = mask_swap.astype(jnp.float32)
-        head_ckpt = jax.checkpoint(head_part, prevent_cse=False)
+        # train_remat='attn_head' composes with the fused layers: the score
+        # head runs OUTSIDE remat, so its backward reuses stored residuals
+        # (dist + Sinkhorn u/v) instead of replaying the projection + 20-sweep
+        # OT chain per iteration; every other policy keeps the head under
+        # full remat (minimum HBM residency)
+        head_ckpt = (head_part if cfg.train_remat == "attn_head"
+                     else jax.checkpoint(head_part, prevent_cse=False))
 
         def body_fused(carry, per_it):
             desc, qk_self, qk_cross, terms, score = carry
