@@ -254,3 +254,69 @@ def eval_matches(pred_matches, gt_matches):
         "inlier_ratio": n_corr / n_pred if n_pred > 0 else 0,
         "recall_ratio": n_corr / n_gt if n_gt > 0 else 0,
     }
+
+
+def plot_matches_gt(image0, image1, kpts0, kpts1, pred_matches,
+                    gt_matches=None, inliers=None, save_fn=None, margin=10,
+                    show_keypoints=True):
+    """GT-comparison match canvas (reference tools/utils.py:500-614
+    `plot_matches_cv2` role): predicted matches drawn green when they agree
+    with the GT assignment (or the pose-inlier mask when no GT is given) and
+    red otherwise, with an optional GT-matches panel stacked below and a
+    stats line `pred/correct/precision[/recall]`. Rendering reuses impx's own
+    canvas assembly; correctness is computed vectorized. Returns a dict with
+    the canvas and the same precision/recall statistics the reference
+    returns.
+
+    pred_matches: [N] indices into kpts1 (-1 = unmatched);
+    gt_matches: optional [N] GT indices (-1 = unmatched);
+    inliers: optional [N] bool (used for coloring when gt_matches is None).
+    """
+    import cv2
+
+    pred_matches = np.asarray(pred_matches)
+    pairs = matches_from_indices0(pred_matches)
+    n_pred = len(pairs)
+    if gt_matches is not None:
+        gt_matches = np.asarray(gt_matches)
+        good = gt_matches[pairs[:, 0]] == pairs[:, 1]
+        n_corr = int(np.sum(good))
+        n_gt = max(int(np.sum(gt_matches != -1)), 1)
+    else:
+        good = (np.asarray(inliers)[pairs[:, 0]].astype(bool)
+                if inliers is not None else np.zeros(n_pred, bool))
+        n_corr = int(np.sum(good))
+        n_gt = 0
+
+    canvas = draw_matches(_as_bgr(image0), _as_bgr(image1), kpts0, kpts1,
+                          pairs, inliers=good)
+    if show_keypoints:
+        off = np.asarray(image0).shape[1]
+        for kp, dx in ((kpts0, 0), (kpts1, off)):
+            for x, y in np.rint(np.asarray(kp)).astype(int):
+                cv2.circle(canvas, (x + dx, y), 3, (0, 0, 255), 1)
+
+    denom = max(n_pred, 1)
+    text = f"{n_pred}/{n_corr}/{n_corr / denom:.3f}"
+    if gt_matches is not None:
+        text += f"/{n_corr / n_gt:.3f}"
+    cv2.putText(canvas, text, (20, 30), cv2.FONT_HERSHEY_SIMPLEX, 1,
+                (0, 0, 255), 2)
+
+    if gt_matches is not None:
+        gt_pairs = matches_from_indices0(gt_matches)
+        gt_canvas = draw_matches(_as_bgr(image0), _as_bgr(image1),
+                                 kpts0, kpts1, gt_pairs)
+        cv2.putText(gt_canvas, f"{len(gt_pairs)}/{len(gt_matches)}", (20, 30),
+                    cv2.FONT_HERSHEY_SIMPLEX, 1, (0, 0, 255), 2)
+        canvas = np.vstack([canvas, gt_canvas])
+
+    if save_fn is not None:
+        cv2.imwrite(str(save_fn), canvas)
+    return {
+        "match_img": canvas,
+        "inlier_ratio": n_corr / denom,
+        "recall_ratio": n_corr / n_gt if n_gt else 0.0,
+        "n_corr_match": n_corr,
+        "n_gt_match": n_gt,
+    }

@@ -65,6 +65,31 @@ def test_make_matching_plot_fast(tmp_path):
     assert not (canvas == canvas[0, 0]).all()  # something was drawn
 
 
+def test_plot_matches_gt(tmp_path):
+    """GT-comparison canvas (reference tools/utils.py plot_matches_cv2 role):
+    stats must follow the GT assignment; GT panel doubles the height."""
+    pytest.importorskip("cv2")
+    rs = np.random.RandomState(3)
+    img0 = (rs.rand(60, 80) * 255).astype(np.uint8)
+    img1 = (rs.rand(60, 80) * 255).astype(np.uint8)
+    kpts0 = rs.rand(6, 2) * [80, 60]
+    kpts1 = rs.rand(6, 2) * [80, 60]
+    # pred: 0->1 (gt-correct), 1->0 (wrong: gt says 1->2), 2 unmatched
+    pred = np.array([1, 0, -1, -1, -1, -1])
+    gt = np.array([1, 2, -1, -1, -1, -1])
+    out = viz.plot_matches_gt(img0, img1, kpts0, kpts1, pred, gt_matches=gt,
+                              save_fn=tmp_path / "gt.png")
+    assert out["n_corr_match"] == 1 and out["n_gt_match"] == 2
+    assert out["inlier_ratio"] == pytest.approx(1 / 2)
+    assert out["recall_ratio"] == pytest.approx(1 / 2)
+    assert out["match_img"].shape == (120, 160, 3)  # GT panel stacked below
+    assert (tmp_path / "gt.png").exists()
+    # inlier-mask coloring path (no GT)
+    out2 = viz.plot_matches_gt(img0, img1, kpts0, kpts1, pred,
+                               inliers=np.array([1, 0, 0, 0, 0, 0], bool))
+    assert out2["n_corr_match"] == 1 and out2["match_img"].shape == (60, 160, 3)
+
+
 def test_draw_matches_and_indices0():
     rs = np.random.RandomState(1)
     img = (rs.rand(60, 80) * 255).astype(np.uint8)
